@@ -1,0 +1,51 @@
+"""Basic Diffuse material: Lambertian with texturable base color.
+
+Vectorized equivalent of
+/root/reference/src/scene/basic_diffuse.glsl.inc. Directions are in the
+hit tangent frame (+Z = shading normal); spectral quantities are (N, 4)
+over the hero wavelength cluster.
+
+Naming: `view` is the direction toward the viewer (the reference's BSDF
+"In"), `scattered` is the sampled/evaluated light direction (the
+reference's BSDF "Out", which becomes the extension ray).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.constants import PI
+from ..core.sampling import safe_normalize
+
+
+def has_dirac_bsdf(ctx):
+    n = ctx['type'].shape[0]
+    return jnp.zeros((n,), jnp.bool_)
+
+
+def evaluate_bsdf(ctx, view, scattered):
+    """Cosine-lobe evaluation (basic_diffuse.glsl.inc:19-34).
+
+    Returns (throughput (N,4), probability (N,4), valid (N,)).
+    Note: the reference computes the PDF from the *view* cosine
+    (basic_diffuse.glsl.inc:31, `In.z / PI` with In = view). The factor
+    cancels in its throughput/probability estimator, and we reproduce it
+    exactly for output parity.
+    """
+    n = ctx['type'].shape[0]
+    probability = jnp.broadcast_to((view[:, 2] / PI)[:, None], (n, 4))
+    throughput = probability * ctx['base_reflectance']
+    valid = jnp.ones((n,), jnp.bool_)
+    return throughput, probability, valid
+
+
+def sample_bsdf(ctx, view, u1, u2, u3):
+    """Cosine-weighted hemisphere sample (basic_diffuse.glsl.inc:37-50):
+    uniform sphere direction + z-axis, normalized."""
+    z = 2.0 * u1 - 1.0
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * PI * u2
+    sphere = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    scattered = safe_normalize(sphere + jnp.asarray([0.0, 0.0, 1.0]))
+    throughput, probability, valid = evaluate_bsdf(ctx, view, scattered)
+    return scattered, throughput, probability, valid

@@ -1,0 +1,70 @@
+"""Camera ray generation: pinhole, thin-lens, 360 spherical.
+
+Vectorized equivalent of GenerateCameraRay
+(/root/reference/src/scene/scene.glsl.inc:613-655). The camera model is
+selected statically per render config (one camera renders at a time, as
+in the reference), so there is no per-lane dispatch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.constants import (
+    CAMERA_MODEL_360,
+    CAMERA_MODEL_PINHOLE,
+    CAMERA_MODEL_THIN_LENS,
+    HIT_TIME_LIMIT,
+    PI,
+    TAU,
+)
+from ..core.sampling import Rng, normalize, random_point_on_disk
+
+
+def generate_camera_rays(packed, camera_index: int, camera_model: int,
+                         ndc, rng: Rng):
+    """Generate world-space camera rays for normalized sample positions.
+
+    ndc: (N, 2) normalized sample positions in [0, 1]^2.
+    camera_index/camera_model are static ints (the active render camera).
+    Returns (origin, direction) with unit direction, world space.
+    """
+    sensor_size = packed.camera_sensor_size[camera_index]
+    sensor_distance = packed.camera_sensor_distance[camera_index]
+    aperture = packed.camera_aperture_radius[camera_index]
+    focal = packed.camera_focal_length[camera_index]
+    world = packed.camera_world_from_camera[camera_index]
+
+    n = ndc.shape[0]
+
+    if camera_model in (CAMERA_MODEL_PINHOLE, CAMERA_MODEL_THIN_LENS):
+        sensor_pos = jnp.stack([
+            -sensor_size[0] * (ndc[:, 0] - 0.5),
+            -sensor_size[1] * (0.5 - ndc[:, 1]),
+            jnp.broadcast_to(sensor_distance, (n,)),
+        ], axis=-1)
+        disk = random_point_on_disk(rng) * aperture
+        origin = jnp.concatenate([disk, jnp.zeros((n, 1))], axis=-1)
+        if camera_model == CAMERA_MODEL_PINHOLE:
+            direction = normalize(origin - sensor_pos)
+        else:
+            # Thin lens: aim at the in-focus object point conjugate to the
+            # sensor position (scene.glsl.inc:640-643).
+            object_pos = -sensor_pos * focal / (sensor_pos[:, 2:3] - focal)
+            direction = normalize(object_pos - origin)
+    elif camera_model == CAMERA_MODEL_360:
+        phi = (ndc[:, 0] - 0.5) * TAU
+        theta = (0.5 - ndc[:, 1]) * PI
+        origin = jnp.zeros((n, 3))
+        direction = jnp.stack([
+            jnp.cos(theta) * jnp.sin(phi),
+            jnp.sin(theta),
+            -jnp.cos(theta) * jnp.cos(phi),
+        ], axis=-1)
+    else:
+        raise ValueError(f'unknown camera model {camera_model}')
+
+    rot = world[:3, :3]
+    origin_w = origin @ rot.T + world[:3, 3]
+    direction_w = normalize(direction @ rot.T)
+    return origin_w, direction_w

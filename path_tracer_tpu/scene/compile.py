@@ -1,0 +1,634 @@
+"""Scene compiler: flatten the scene document into padded device arrays.
+
+TPU-native equivalent of the reference's PackSceneData + UpdateVulkanScene
+(/root/reference/src/scene/scene.cpp:1115-1621, :1692-1975). Instead of
+std430 SSBO blobs, the compiled scene is a pytree (`PackedScene`) of
+struct-of-arrays jnp buffers: materials are a column-oriented attribute
+table (one array per named attribute instead of the reference's uint
+blob + bitcasts, which would be hostile to TPU gathers), meshes are SoA
+face/vertex/BVH-node arrays, the two-level BVH keeps the reference's
+semantics (agglomerative TLAS over shape AABBs, SAH BVH per mesh), and
+the texture atlas is a float32 array stack.
+
+Incremental recompilation honors the same dirty-flag cascade as the
+reference: textures -> materials -> shapes -> globals; meshes -> shapes;
+skybox -> globals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import (
+    CAMERA_MODEL_PINHOLE,
+    CAMERA_MODEL_THIN_LENS,
+    MATERIAL_TYPE_BASIC_DIFFUSE,
+    MATERIAL_TYPE_BASIC_METAL,
+    MATERIAL_TYPE_BASIC_TRANSLUCENT,
+    MATERIAL_TYPE_OPENPBR,
+    SHAPE_INDEX_NONE,
+    SHAPE_TYPE_MESH_INSTANCE,
+    SHAPE_TYPE_PLANE,
+    TEXTURE_INDEX_NONE,
+)
+from ..core import uplift
+from . import atlas as atlas_mod
+from . import bvh as bvh_mod
+from .model import (
+    ENTITY_TYPE_CAMERA,
+    ENTITY_TYPE_CUBE,
+    ENTITY_TYPE_MESH_INSTANCE,
+    ENTITY_TYPE_PLANE,
+    ENTITY_TYPE_SPHERE,
+    SCENE_DIRTY_ALL,
+    SCENE_DIRTY_CAMERAS,
+    SCENE_DIRTY_GLOBALS,
+    SCENE_DIRTY_MATERIALS,
+    SCENE_DIRTY_MESHES,
+    SCENE_DIRTY_SHAPES,
+    SCENE_DIRTY_SKYBOX_TEXTURE,
+    SCENE_DIRTY_TEXTURES,
+    Scene,
+)
+
+_ENTITY_TO_SHAPE_TYPE = {
+    ENTITY_TYPE_MESH_INSTANCE: SHAPE_TYPE_MESH_INSTANCE,
+    ENTITY_TYPE_PLANE: SHAPE_TYPE_PLANE,
+    ENTITY_TYPE_SPHERE: 2,
+    ENTITY_TYPE_CUBE: 3,
+}
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_register
+@dataclass
+class MaterialTable:
+    """Column-oriented material attribute table (SoA over materials).
+
+    Slot 0 is the fallback material (a default OpenPBR surface), as in the
+    reference material blob (scene.cpp:1240-1250). Spectra are
+    parametric-spectrum coefficients (already uplifted on host).
+    """
+
+    type: Any
+    opacity: Any
+    base_spectrum: Any
+    base_texture: Any
+    specular_spectrum: Any
+    specular_texture: Any
+    roughness: Any
+    roughness_texture: Any
+    roughness_anisotropy: Any
+    roughness_anisotropy_texture: Any
+    ior: Any
+    abbe_number: Any
+    transmission_spectrum: Any
+    transmission_depth: Any
+    scattering_spectrum: Any
+    scattering_anisotropy: Any
+    # OpenPBR-only columns.
+    base_weight: Any
+    base_metalness: Any
+    base_diffuse_roughness: Any
+    specular_weight: Any
+    specular_ior: Any
+    transmission_weight: Any
+    transmission_scatter_spectrum: Any
+    transmission_scatter_anisotropy: Any
+    transmission_dispersion_abbe: Any
+    coat_weight: Any
+    coat_spectrum: Any
+    coat_ior: Any
+    coat_roughness: Any
+    coat_roughness_anisotropy: Any
+    coat_darkening: Any
+    emission_spectrum: Any
+    emission_texture: Any
+    emission_luminance: Any
+    layer_bounce_limit: Any
+
+
+@_register
+@dataclass
+class PackedScene:
+    """Flattened scene as a pytree of device arrays.
+
+    This is the cross-layer contract between the scene compiler and the
+    integrator, the TPU analogue of the reference's UBO+SSBO set
+    (scene.glsl.inc:121-179).
+    """
+
+    # Shapes (flattened active entity tree, world transforms).
+    shape_type: Any             # (S,) int32
+    shape_material: Any         # (S,) int32 material slot
+    shape_mesh_root: Any        # (S,) int32 mesh BVH root node
+    shape_world_from_object: Any  # (S, 4, 4) float32
+    shape_object_from_world: Any  # (S, 4, 4) float32
+
+    # TLAS over shapes (agglomerative merge, scene.cpp:1402-1492).
+    tlas_min: Any               # (T, 3)
+    tlas_max: Any               # (T, 3)
+    tlas_child_a: Any           # (T,) int32; 0 when leaf
+    tlas_child_b: Any           # (T,) int32; 0 when leaf
+    tlas_shape: Any             # (T,) int32 shape index for leaves
+
+    # Mesh geometry (all meshes concatenated, indices rebased).
+    face_positions: Any         # (F, 3, 3)
+    face_vertices: Any          # (F, 3) int32
+    vertex_normals: Any         # (V, 3)
+    vertex_uvs: Any             # (V, 2)
+    mesh_node_min: Any          # (B, 3)
+    mesh_node_max: Any          # (B, 3)
+    mesh_node_a: Any            # (B,) int32: child index | face begin
+    mesh_node_b: Any            # (B,) int32: 0 | face end
+
+    materials: MaterialTable
+
+    # Cameras.
+    camera_model: Any           # (C,) int32
+    camera_focal_length: Any    # (C,)
+    camera_aperture_radius: Any  # (C,)
+    camera_sensor_distance: Any  # (C,)
+    camera_sensor_size: Any     # (C, 2)
+    camera_world_from_camera: Any  # (C, 4, 4)
+
+    # Texture atlas.
+    atlas: Any                  # (L, A, A, 4)
+    texture_placement_min: Any  # (T, 2)
+    texture_placement_max: Any  # (T, 2)
+    texture_layer: Any          # (T,) int32
+    texture_flags: Any          # (T,) int32
+
+    # Globals (packed_scene_globals, scene.glsl.inc:90-99).
+    skybox_mean_direction: Any  # (3,)
+    skybox_concentration: Any   # ()
+    skybox_sampling_probability: Any  # ()
+    skybox_brightness: Any      # ()
+    skybox_texture_index: Any   # () int32
+    scene_scatter_rate: Any     # ()
+
+
+def _uplift(color, table):
+    return uplift.rgb_to_coefficients(np.asarray(color, np.float32), table)
+
+
+def _texture_index(texture):
+    if texture is None or texture.packed_texture_index < 0:
+        return TEXTURE_INDEX_NONE
+    return texture.packed_texture_index
+
+
+def _pack_materials(scene: Scene, table):
+    """Build the material attribute table. Slot 0 = fallback OpenPBR."""
+    from .model import OpenPBRMaterial
+
+    mats = [OpenPBRMaterial()] + list(scene.materials)
+    m = len(mats)
+
+    def zeros(shape=(), dtype=np.float32):
+        return np.zeros((m,) + shape, dtype)
+
+    cols = {f.name: None for f in dataclasses.fields(MaterialTable)}
+    cols.update(
+        type=zeros(dtype=np.int32), opacity=zeros(),
+        base_spectrum=zeros((3,)), base_texture=np.full(m, TEXTURE_INDEX_NONE, np.int32),
+        specular_spectrum=zeros((3,)), specular_texture=np.full(m, TEXTURE_INDEX_NONE, np.int32),
+        roughness=zeros(), roughness_texture=np.full(m, TEXTURE_INDEX_NONE, np.int32),
+        roughness_anisotropy=zeros(),
+        roughness_anisotropy_texture=np.full(m, TEXTURE_INDEX_NONE, np.int32),
+        ior=np.full(m, 1.5, np.float32), abbe_number=np.full(m, 20.0, np.float32),
+        transmission_spectrum=zeros((3,)), transmission_depth=zeros(),
+        scattering_spectrum=zeros((3,)), scattering_anisotropy=zeros(),
+        base_weight=zeros(), base_metalness=zeros(), base_diffuse_roughness=zeros(),
+        specular_weight=zeros(), specular_ior=np.full(m, 1.5, np.float32),
+        transmission_weight=zeros(), transmission_scatter_spectrum=zeros((3,)),
+        transmission_scatter_anisotropy=zeros(),
+        transmission_dispersion_abbe=np.full(m, 20.0, np.float32),
+        coat_weight=zeros(), coat_spectrum=zeros((3,)),
+        coat_ior=np.full(m, 1.6, np.float32), coat_roughness=zeros(),
+        coat_roughness_anisotropy=zeros(), coat_darkening=zeros(),
+        emission_spectrum=zeros((3,)),
+        emission_texture=np.full(m, TEXTURE_INDEX_NONE, np.int32),
+        emission_luminance=zeros(),
+        layer_bounce_limit=np.full(m, 16, np.int32),
+    )
+
+    for i, mat in enumerate(mats):
+        cols['type'][i] = mat.type
+        cols['opacity'][i] = mat.opacity
+        t = mat.type
+        if t == MATERIAL_TYPE_BASIC_DIFFUSE:
+            cols['base_spectrum'][i] = _uplift(mat.base_color, table)
+            cols['base_texture'][i] = _texture_index(mat.base_texture)
+        elif t == MATERIAL_TYPE_BASIC_METAL:
+            cols['base_spectrum'][i] = _uplift(mat.base_color, table)
+            cols['base_texture'][i] = _texture_index(mat.base_texture)
+            cols['specular_spectrum'][i] = _uplift(mat.specular_color, table)
+            cols['specular_texture'][i] = _texture_index(mat.specular_texture)
+            cols['roughness'][i] = mat.roughness
+            cols['roughness_texture'][i] = _texture_index(mat.roughness_texture)
+            cols['roughness_anisotropy'][i] = mat.roughness_anisotropy
+            cols['roughness_anisotropy_texture'][i] = _texture_index(mat.roughness_anisotropy_texture)
+        elif t == MATERIAL_TYPE_BASIC_TRANSLUCENT:
+            cols['ior'][i] = mat.ior
+            cols['abbe_number'][i] = mat.abbe_number
+            cols['roughness'][i] = mat.roughness
+            cols['roughness_texture'][i] = _texture_index(mat.roughness_texture)
+            cols['roughness_anisotropy'][i] = mat.roughness_anisotropy
+            cols['roughness_anisotropy_texture'][i] = _texture_index(mat.roughness_anisotropy_texture)
+            cols['transmission_spectrum'][i] = _uplift(mat.transmission_color, table)
+            cols['transmission_depth'][i] = mat.transmission_depth
+            cols['scattering_spectrum'][i] = _uplift(mat.scattering_color, table)
+            cols['scattering_anisotropy'][i] = mat.scattering_anisotropy
+        elif t == MATERIAL_TYPE_OPENPBR:
+            cols['base_weight'][i] = mat.base_weight
+            cols['base_spectrum'][i] = _uplift(mat.base_color, table)
+            cols['base_texture'][i] = _texture_index(mat.base_color_texture)
+            cols['base_metalness'][i] = mat.base_metalness
+            cols['base_diffuse_roughness'][i] = mat.base_diffuse_roughness
+            cols['specular_weight'][i] = mat.specular_weight
+            cols['specular_spectrum'][i] = _uplift(mat.specular_color, table)
+            cols['specular_ior'][i] = mat.specular_ior
+            cols['roughness'][i] = mat.specular_roughness
+            cols['roughness_texture'][i] = _texture_index(mat.specular_roughness_texture)
+            cols['roughness_anisotropy'][i] = mat.specular_roughness_anisotropy
+            cols['transmission_weight'][i] = mat.transmission_weight
+            cols['transmission_spectrum'][i] = _uplift(mat.transmission_color, table)
+            cols['transmission_depth'][i] = mat.transmission_depth
+            cols['transmission_scatter_spectrum'][i] = _uplift(mat.transmission_scatter, table)
+            cols['transmission_scatter_anisotropy'][i] = mat.transmission_scatter_anisotropy
+            # The reference stores abbe/scale (openpbr.hpp:120); 0 scale
+            # disables dispersion via an infinite effective Abbe number.
+            scale = mat.transmission_dispersion_scale
+            cols['transmission_dispersion_abbe'][i] = (
+                mat.transmission_dispersion_abbe_number / scale if scale > 0 else 1e9)
+            cols['coat_weight'][i] = mat.coat_weight
+            cols['coat_spectrum'][i] = _uplift(mat.coat_color, table)
+            cols['coat_ior'][i] = mat.coat_ior
+            cols['coat_roughness'][i] = mat.coat_roughness
+            cols['coat_roughness_anisotropy'][i] = mat.coat_roughness_anisotropy
+            cols['coat_darkening'][i] = mat.coat_darkening
+            cols['emission_spectrum'][i] = _uplift(mat.emission_color, table)
+            cols['emission_texture'][i] = _texture_index(mat.emission_color_texture)
+            cols['emission_luminance'][i] = mat.emission_luminance
+            cols['layer_bounce_limit'][i] = mat.layer_bounce_limit
+        mat.packed_material_index = i
+
+    return MaterialTable(**{k: jnp.asarray(v) for k, v in cols.items()})
+
+
+def _pack_meshes(scene: Scene):
+    """Concatenate mesh geometry with globally rebased indices.
+
+    Matches scene.cpp:1266-1343, except vertices keep full float32 normals
+    and UVs (no octahedral/half packing -- TPU lanes prefer flat f32).
+    """
+    face_positions, face_vertices = [], []
+    vertex_normals, vertex_uvs = [], []
+    node_min, node_max, node_a, node_b = [], [], [], []
+    vertex_base = face_base = node_base = 0
+
+    for mesh in scene.meshes:
+        if mesh.bvh is None:
+            tri = mesh.positions[mesh.faces]  # (F, 3, 3)
+            mesh.bvh = bvh_mod.build_bvh(tri)
+        bvh = mesh.bvh
+        faces = mesh.faces[bvh.face_order]
+
+        face_positions.append(mesh.positions[faces])
+        face_vertices.append(faces.astype(np.int32) + vertex_base)
+        vertex_normals.append(mesh.normals)
+        vertex_uvs.append(mesh.uvs)
+
+        is_leaf = bvh.b > 0
+        node_min.append(bvh.node_min)
+        node_max.append(bvh.node_max)
+        node_a.append(np.where(is_leaf, bvh.a + face_base, bvh.a + node_base).astype(np.int32))
+        node_b.append(np.where(is_leaf, bvh.b + face_base, 0).astype(np.int32))
+
+        mesh.packed_root_node_index = node_base
+        vertex_base += len(mesh.positions)
+        face_base += len(faces)
+        node_base += len(bvh.a)
+
+    def cat(parts, empty_shape, dtype=np.float32):
+        if parts:
+            return np.concatenate(parts).astype(dtype)
+        return np.zeros(empty_shape, dtype)
+
+    return dict(
+        face_positions=cat(face_positions, (1, 3, 3)),
+        face_vertices=cat(face_vertices, (1, 3), np.int32),
+        vertex_normals=cat(vertex_normals, (1, 3)),
+        vertex_uvs=cat(vertex_uvs, (1, 2)),
+        mesh_node_min=cat(node_min, (1, 3)),
+        mesh_node_max=cat(node_max, (1, 3)),
+        mesh_node_a=cat(node_a, (1,), np.int32),
+        mesh_node_b=cat(node_b, (1,), np.int32),
+    )
+
+
+def _shape_bounds(shape_type, world_from_object, mesh_root, mesh_node_min, mesh_node_max):
+    """World AABB of a shape (scene.cpp:1031-1093)."""
+    if shape_type == SHAPE_TYPE_MESH_INSTANCE:
+        lo = mesh_node_min[mesh_root]
+        hi = mesh_node_max[mesh_root]
+    elif shape_type == SHAPE_TYPE_PLANE:
+        lo = np.array([-1e9, -1e9, -1e-9], np.float32)
+        hi = np.array([+1e9, +1e9, +1e-9], np.float32)
+    else:  # sphere, cube
+        lo = -np.ones(3, np.float32)
+        hi = np.ones(3, np.float32)
+    corners = np.array([[x, y, z, 1.0] for x in (lo[0], hi[0])
+                        for y in (lo[1], hi[1]) for z in (lo[2], hi[2])], np.float32)
+    world = corners @ world_from_object.T
+    return world[:, :3].min(axis=0), world[:, :3].max(axis=0)
+
+
+def _build_tlas(bounds_min, bounds_max):
+    """Agglomerative bottom-up TLAS (scene.cpp:1402-1492).
+
+    Repeatedly merges mutually-best AABB pairs by summed-extent heuristic.
+    Returns SoA arrays with the root at index 0; child indices (a, b)
+    equal 0 for leaves.
+    """
+    s = len(bounds_min)
+    node_min = [np.zeros(3, np.float32)]
+    node_max = [np.zeros(3, np.float32)]
+    child_a, child_b = [0], [0]
+    node_shape = [SHAPE_INDEX_NONE]
+
+    if s == 0:
+        return (np.stack(node_min), np.stack(node_max),
+                np.asarray(child_a, np.int32), np.asarray(child_b, np.int32),
+                np.asarray(node_shape, np.int32))
+
+    alive = []  # node indices of current roots
+    for i in range(s):
+        alive.append(len(node_min))
+        node_min.append(bounds_min[i])
+        node_max.append(bounds_max[i])
+        child_a.append(0)
+        child_b.append(0)
+        node_shape.append(i)
+
+    def best_match(idx_a):
+        lo_a, hi_a = node_min[alive[idx_a]], node_max[alive[idx_a]]
+        best, best_area = -1, np.inf
+        for idx_b in range(len(alive)):
+            if idx_b == idx_a:
+                continue
+            size = np.maximum(hi_a, node_max[alive[idx_b]]) - np.minimum(lo_a, node_min[alive[idx_b]])
+            # Note: the reference's heuristic (scene.cpp:1437) uses
+            # x*y + y*z + z*z; we keep the standard half-area x*y+y*z+z*x.
+            area = size[0] * size[1] + size[1] * size[2] + size[2] * size[0]
+            if area <= best_area:
+                best_area, best = area, idx_b
+        return best
+
+    ia = 0
+    ib = best_match(ia)
+    while len(alive) > 1:
+        ic = best_match(ib)
+        if ia == ic:
+            na, nb = alive[ia], alive[ib]
+            merged = len(node_min)
+            node_min.append(np.minimum(node_min[na], node_min[nb]))
+            node_max.append(np.maximum(node_max[na], node_max[nb]))
+            child_a.append(na)
+            child_b.append(nb)
+            node_shape.append(SHAPE_INDEX_NONE)
+
+            alive[ia] = merged
+            alive[ib] = alive[-1]
+            alive.pop()
+            if ia == len(alive):
+                ia = ib
+            ib = best_match(ia)
+        else:
+            ia, ib = ib, ic
+
+    # Move the final root into slot 0 (scene.cpp:1489-1491).
+    root = alive[0]
+    last = len(node_min) - 1
+    for arr in (node_min, node_max, child_a, child_b, node_shape):
+        arr[0] = arr[root]
+    if root != last:
+        for arr in (node_min, node_max, child_a, child_b, node_shape):
+            arr[root] = arr[last]
+        # Fix parents referring to the moved node.
+        for i in range(len(child_a)):
+            if child_a[i] == last:
+                child_a[i] = root
+            if child_b[i] == last:
+                child_b[i] = root
+    for arr in (node_min, node_max, child_a, child_b, node_shape):
+        arr.pop()
+
+    return (np.stack(node_min).astype(np.float32),
+            np.stack(node_max).astype(np.float32),
+            np.asarray(child_a, np.int32), np.asarray(child_b, np.int32),
+            np.asarray(node_shape, np.int32))
+
+
+def _fit_skybox_vmf(pixels):
+    """Fit a von Mises-Fisher lobe to an equirect HDR skybox
+    (scene.cpp:1569-1600): luminance^2- and solid-angle-weighted mean
+    direction, concentration from mean resultant length."""
+    h, w = pixels.shape[:2]
+    y = np.arange(h)
+    x = np.arange(w)
+    theta = (0.5 - (y + 0.5) / h) * np.pi
+    phi = ((x + 0.5) / w - 0.5) * 2 * np.pi
+    lum = pixels[..., :3] @ np.array([0.2126, 0.7152, 0.0722], np.float32)
+    weight = np.cos(theta)[:, None] * lum * lum
+    ct, st = np.cos(theta), np.sin(theta)
+    cp, sp = np.cos(phi), np.sin(phi)
+    direction = np.stack([
+        np.broadcast_to(ct[:, None] * cp[None, :], (h, w)),
+        np.broadcast_to(ct[:, None] * sp[None, :], (h, w)),
+        np.broadcast_to(st[:, None], (h, w)),
+    ], axis=-1)
+    wsum = weight.sum()
+    mean = (weight[..., None] * direction).sum(axis=(0, 1)) / max(wsum, 1e-12)
+    r = np.linalg.norm(mean)
+    r = min(r, 0.9999)
+    concentration = r * (3.0 - r * r) / (1.0 - r * r)
+    return (mean / max(r, 1e-12)).astype(np.float32), np.float32(concentration)
+
+
+def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
+                  spectrum_table=None) -> PackedScene:
+    """Compile (or incrementally recompile) the scene into a PackedScene.
+
+    Dirty-flag cascade follows PackSceneData (scene.cpp:1115-1621).
+    `aspect_ratio` feeds pinhole sensor sizing (the reference hardcodes
+    2.0 at scene.cpp:1518).
+    """
+    dirty = scene.dirty_flags if prev is not None else SCENE_DIRTY_ALL
+    table = spectrum_table if spectrum_table is not None else uplift.get_table()
+    out = {} if prev is None else {f.name: getattr(prev, f.name)
+                                   for f in dataclasses.fields(PackedScene)}
+
+    if dirty & SCENE_DIRTY_TEXTURES:
+        atlas, metas = atlas_mod.pack_textures(scene.textures, table)
+        for i, texture in enumerate(scene.textures):
+            texture.packed_texture_index = i
+        if metas:
+            out.update(
+                texture_placement_min=jnp.asarray(np.stack([m.placement_min for m in metas])),
+                texture_placement_max=jnp.asarray(np.stack([m.placement_max for m in metas])),
+                texture_layer=jnp.asarray([m.layer for m in metas], jnp.int32),
+                texture_flags=jnp.asarray([m.flags for m in metas], jnp.int32),
+            )
+        else:
+            out.update(
+                texture_placement_min=jnp.zeros((1, 2)),
+                texture_placement_max=jnp.ones((1, 2)),
+                texture_layer=jnp.zeros(1, jnp.int32),
+                texture_flags=jnp.zeros(1, jnp.int32),
+            )
+        out['atlas'] = jnp.asarray(atlas)
+        dirty |= SCENE_DIRTY_MATERIALS | SCENE_DIRTY_SKYBOX_TEXTURE
+
+    if dirty & SCENE_DIRTY_MATERIALS:
+        out['materials'] = _pack_materials(scene, table)
+        dirty |= SCENE_DIRTY_SHAPES
+
+    if dirty & SCENE_DIRTY_MESHES:
+        mesh_arrays = _pack_meshes(scene)
+        out.update({k: jnp.asarray(v) for k, v in mesh_arrays.items()})
+        out['_mesh_np'] = mesh_arrays
+        dirty |= SCENE_DIRTY_SHAPES
+
+    if dirty & SCENE_DIRTY_SHAPES:
+        shape_type, shape_material, shape_mesh_root = [], [], []
+        world_from_object, object_from_world = [], []
+        bounds_lo, bounds_hi = [], []
+        mesh_node_min = np.asarray(out['mesh_node_min'])
+        mesh_node_max = np.asarray(out['mesh_node_max'])
+
+        for entity, world in scene.walk_entities_with_transform():
+            if entity.type not in _ENTITY_TO_SHAPE_TYPE:
+                continue
+            if entity.type == ENTITY_TYPE_MESH_INSTANCE and entity.mesh is None:
+                continue
+            stype = _ENTITY_TO_SHAPE_TYPE[entity.type]
+            material_slot = (entity.material.packed_material_index
+                             if entity.material is not None else 0)
+            mesh_root = (entity.mesh.packed_root_node_index
+                         if entity.type == ENTITY_TYPE_MESH_INSTANCE else 0)
+            entity.packed_shape_index = len(shape_type)
+
+            shape_type.append(stype)
+            shape_material.append(material_slot)
+            shape_mesh_root.append(mesh_root)
+            world_from_object.append(world)
+            object_from_world.append(np.linalg.inv(world.astype(np.float64)).astype(np.float32))
+            lo, hi = _shape_bounds(stype, world, mesh_root, mesh_node_min, mesh_node_max)
+            bounds_lo.append(lo)
+            bounds_hi.append(hi)
+
+        s = len(shape_type)
+        if s:
+            out.update(
+                shape_type=jnp.asarray(shape_type, jnp.int32),
+                shape_material=jnp.asarray(shape_material, jnp.int32),
+                shape_mesh_root=jnp.asarray(shape_mesh_root, jnp.int32),
+                shape_world_from_object=jnp.asarray(np.stack(world_from_object)),
+                shape_object_from_world=jnp.asarray(np.stack(object_from_world)),
+            )
+        else:
+            out.update(
+                shape_type=jnp.zeros(1, jnp.int32),
+                shape_material=jnp.zeros(1, jnp.int32),
+                shape_mesh_root=jnp.zeros(1, jnp.int32),
+                shape_world_from_object=jnp.eye(4)[None],
+                shape_object_from_world=jnp.eye(4)[None],
+            )
+
+        tl_min, tl_max, tl_a, tl_b, tl_shape = _build_tlas(bounds_lo, bounds_hi)
+        out.update(
+            tlas_min=jnp.asarray(tl_min), tlas_max=jnp.asarray(tl_max),
+            tlas_child_a=jnp.asarray(tl_a), tlas_child_b=jnp.asarray(tl_b),
+            tlas_shape=jnp.asarray(tl_shape),
+        )
+        dirty |= SCENE_DIRTY_GLOBALS
+
+    if dirty & SCENE_DIRTY_CAMERAS:
+        cameras = []
+        for entity, world in scene.walk_entities_with_transform():
+            if entity.type != ENTITY_TYPE_CAMERA:
+                continue
+            entity.packed_camera_index = len(cameras)
+            if entity.camera_model == CAMERA_MODEL_PINHOLE:
+                sensor_x = 2.0 * np.tan(np.radians(entity.pinhole.field_of_view_in_degrees / 2))
+                cameras.append(dict(
+                    model=CAMERA_MODEL_PINHOLE,
+                    focal_length=0.0,
+                    aperture=entity.pinhole.aperture_diameter_in_mm / 2000.0,
+                    sensor_distance=1.0,
+                    sensor_size=(sensor_x, sensor_x / aspect_ratio),
+                    world=world,
+                ))
+            elif entity.camera_model == CAMERA_MODEL_THIN_LENS:
+                tl = entity.thin_lens
+                cameras.append(dict(
+                    model=CAMERA_MODEL_THIN_LENS,
+                    focal_length=tl.focal_length_in_mm / 1000.0,
+                    aperture=tl.aperture_diameter_in_mm / 2000.0,
+                    sensor_distance=1.0 / (1000.0 / tl.focal_length_in_mm - 1.0 / tl.focus_distance),
+                    sensor_size=tuple(np.asarray(tl.sensor_size_in_mm) / 1000.0),
+                    world=world,
+                ))
+            else:  # 360
+                cameras.append(dict(
+                    model=entity.camera_model, focal_length=0.0, aperture=0.0,
+                    sensor_distance=1.0, sensor_size=(1.0, 1.0), world=world,
+                ))
+        if not cameras:
+            cameras.append(dict(model=CAMERA_MODEL_PINHOLE, focal_length=0.0,
+                                aperture=0.0, sensor_distance=1.0,
+                                sensor_size=(2.0, 1.0), world=np.eye(4, dtype=np.float32)))
+        out.update(
+            camera_model=jnp.asarray([c['model'] for c in cameras], jnp.int32),
+            camera_focal_length=jnp.asarray([c['focal_length'] for c in cameras], jnp.float32),
+            camera_aperture_radius=jnp.asarray([c['aperture'] for c in cameras], jnp.float32),
+            camera_sensor_distance=jnp.asarray([c['sensor_distance'] for c in cameras], jnp.float32),
+            camera_sensor_size=jnp.asarray([c['sensor_size'] for c in cameras], jnp.float32),
+            camera_world_from_camera=jnp.asarray(np.stack([c['world'] for c in cameras])),
+        )
+
+    if dirty & SCENE_DIRTY_SKYBOX_TEXTURE:
+        skybox = scene.root.skybox_texture
+        if skybox is not None and skybox.pixels is not None:
+            mean, concentration = _fit_skybox_vmf(np.asarray(skybox.pixels, np.float32))
+            out['skybox_mean_direction'] = jnp.asarray(mean)
+            out['skybox_concentration'] = jnp.asarray(concentration)
+            out['skybox_texture_index'] = jnp.asarray(skybox.packed_texture_index, jnp.int32)
+        else:
+            out['skybox_mean_direction'] = jnp.asarray([0.0, 0.0, 1.0])
+            out['skybox_concentration'] = jnp.asarray(0.0, jnp.float32)
+            out['skybox_texture_index'] = jnp.asarray(TEXTURE_INDEX_NONE, jnp.int32)
+        dirty |= SCENE_DIRTY_GLOBALS
+
+    if dirty & SCENE_DIRTY_GLOBALS:
+        out['skybox_sampling_probability'] = jnp.asarray(
+            scene.root.skybox_sampling_probability, jnp.float32)
+        out['skybox_brightness'] = jnp.asarray(scene.root.skybox_brightness, jnp.float32)
+        out['scene_scatter_rate'] = jnp.asarray(scene.root.scatter_rate, jnp.float32)
+
+    out.pop('_mesh_np', None)
+    scene.dirty_flags = 0
+    return PackedScene(**out)
