@@ -27,13 +27,19 @@ def evaluate_bsdf(ctx, view, scattered):
     """Cosine-lobe evaluation (basic_diffuse.glsl.inc:19-34).
 
     Returns (throughput (N,4), probability (N,4), valid (N,)).
-    Note: the reference computes the PDF from the *view* cosine
-    (basic_diffuse.glsl.inc:31, `In.z / PI` with In = view). The factor
-    cancels in its throughput/probability estimator, and we reproduce it
-    exactly for output parity.
+    Deviation from the reference: basic_diffuse.glsl.inc:31 computes the
+    PDF from the *view* cosine (`In.z / PI` with In = view). For pure
+    BSDF sampling the factor cancels in the throughput/probability
+    estimator (identical output), but it biases one-sample MIS against
+    the vMF skybox pdf whenever SkyboxSamplingProbability > 0 (which the
+    reference defaults to 0, so the bias is latent there). We use the
+    correct cosine-lobe pdf of the *scattered* direction, which matches
+    the reference bit-for-bit in its default configuration and is
+    unbiased under MIS.
     """
     n = ctx['type'].shape[0]
-    probability = jnp.broadcast_to((view[:, 2] / PI)[:, None], (n, 4))
+    probability = jnp.broadcast_to(
+        (jnp.maximum(scattered[:, 2], 0.0) / PI)[:, None], (n, 4))
     throughput = probability * ctx['base_reflectance']
     valid = jnp.ones((n,), jnp.bool_)
     return throughput, probability, valid

@@ -83,6 +83,26 @@ def texturable_value(packed, value, texture_index, uv):
     return jnp.where(has_texture, value * tex, value)
 
 
+def fetch_medium_ctx(packed, material_index, lam):
+    """Gather only the columns needed by load_medium (no texture reads)."""
+    m = packed.materials
+    i = material_index
+    return dict(
+        type=m.type[i],
+        lam=lam,
+        ior=m.ior[i],
+        abbe_number=m.abbe_number[i],
+        transmission_spectrum=m.transmission_spectrum[i],
+        transmission_depth=m.transmission_depth[i],
+        scattering_spectrum=m.scattering_spectrum[i],
+        scattering_anisotropy=m.scattering_anisotropy[i],
+        specular_ior=m.specular_ior[i],
+        transmission_scatter_spectrum=m.transmission_scatter_spectrum[i],
+        transmission_scatter_anisotropy=m.transmission_scatter_anisotropy[i],
+        transmission_dispersion_abbe=m.transmission_dispersion_abbe[i],
+    )
+
+
 def fetch_ctx(packed, material_index, lam, uv, exterior_ior):
     """Gather every material attribute for the given lanes.
 

@@ -1,0 +1,110 @@
+"""End-to-end integrator tests: furnace, Cornell, determinism, MIS."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from path_tracer_tpu import (
+    RenderConfig,
+    SceneLayout,
+    Scene,
+    Transform,
+    compile_scene,
+    render,
+    render_scene,
+    resolve,
+)
+from path_tracer_tpu.core.constants import (
+    MATERIAL_TYPE_BASIC_DIFFUSE,
+    MATERIAL_TYPE_BASIC_METAL,
+)
+from path_tracer_tpu.scene.model import (
+    ENTITY_TYPE_CAMERA,
+    ENTITY_TYPE_SPHERE,
+)
+from path_tracer_tpu.scene.procedural import make_cornell_scene
+
+
+def _mean_image(scene, rounds=160, w=32, h=16, seed=0, **kwargs):
+    img = render_scene(scene, width=w, height=h, spp_rounds=rounds, seed=seed,
+                       **kwargs)
+    return np.asarray(img)
+
+
+def _furnace_scene(albedo=1.0, roughness=None, material_type=MATERIAL_TYPE_BASIC_DIFFUSE):
+    scene = Scene()
+    kwargs = dict(base_color=np.full(3, albedo, np.float32))
+    if roughness is not None:
+        kwargs['roughness'] = roughness
+    mat = scene.create_material(material_type, **kwargs)
+    scene.create_entity(ENTITY_TYPE_SPHERE, material=mat,
+                        transform=Transform(position=[0, 2.5, 0]))
+    cam = scene.create_entity(ENTITY_TYPE_CAMERA,
+                              transform=Transform(position=[0, -1.5, 0],
+                                                  rotation=[np.pi / 2, 0, 0]))
+    cam.pinhole.field_of_view_in_degrees = 40.0
+    return scene
+
+
+def test_white_furnace_diffuse():
+    """A unit-albedo diffuse sphere in a uniform unit sky must converge to
+    the same color as the sky itself (energy conservation of the whole
+    estimator: BSDF sampling, spectral cluster, RR, accumulation)."""
+    img = _mean_image(_furnace_scene(albedo=1.0), rounds=600, w=24, h=12)
+    # Sky pixels: corners. Sphere pixels: center.
+    sky = img[0, 0]
+    center = img[6, 12]
+    assert sky.mean() > 0.15
+    assert abs(center.mean() - sky.mean()) / sky.mean() < 0.06, (center, sky)
+
+
+def test_dark_sphere_is_darker():
+    img = _mean_image(_furnace_scene(albedo=0.2), rounds=200, w=24, h=12)
+    sky = img[0, 0].mean()
+    center = img[6, 12].mean()
+    assert center < 0.55 * sky
+
+
+def test_cornell_walls_are_tinted():
+    img = _mean_image(make_cornell_scene(), rounds=250, w=48, h=24,
+                      brightness=2.0)
+    left = img[12, 2:8].mean(axis=0)
+    right = img[12, 40:46].mean(axis=0)
+    assert left[0] > 1.5 * left[1], left    # red wall: R >> G
+    assert right[1] > 1.5 * right[0], right  # green wall: G >> R
+    assert img.max() > 0.05
+
+
+def test_determinism_same_seed():
+    scene = _furnace_scene(albedo=0.5)
+    a = _mean_image(scene, rounds=40, w=16, h=8, seed=7)
+    b = _mean_image(scene, rounds=40, w=16, h=8, seed=7)
+    np.testing.assert_array_equal(a, b)
+    c = _mean_image(scene, rounds=40, w=16, h=8, seed=8)
+    assert np.abs(a - c).max() > 0
+
+
+def test_skybox_mis_unbiased():
+    """Rendering with vMF skybox light sampling enabled must converge to
+    the same image as pure BSDF sampling (one-sample MIS correctness,
+    basic_scatter.glsl:66-109)."""
+    scene = _furnace_scene(albedo=0.6)
+    base = _mean_image(scene, rounds=500, w=16, h=8, seed=3)
+    scene2 = _furnace_scene(albedo=0.6)
+    scene2.root.skybox_sampling_probability = 0.5
+    mis = _mean_image(scene2, rounds=500, w=16, h=8, seed=4)
+    # Compare sphere-center region means within MC tolerance.
+    a = base[3:5, 7:9].mean()
+    b = mis[3:5, 7:9].mean()
+    assert abs(a - b) / a < 0.08, (a, b)
+
+
+def test_metal_sphere_reflects_not_absorbs():
+    img = _mean_image(
+        _furnace_scene(albedo=0.9, roughness=0.1,
+                       material_type=MATERIAL_TYPE_BASIC_METAL),
+        rounds=300, w=24, h=12)
+    sky = img[0, 0].mean()
+    center = img[6, 12].mean()
+    # A 0.9-reflectance mirror sphere in a furnace should be close to the
+    # sky value but slightly darker.
+    assert 0.5 * sky < center <= 1.05 * sky
