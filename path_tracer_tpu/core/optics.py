@@ -52,12 +52,11 @@ def fresnel_dielectric(eta, cos_theta1, cos_theta2=None):
 def schlick_fresnel_metal(base, specular, cos_theta):
     """F82-tint spectral metal Fresnel (Kutz et al.), common.glsl.inc:425-436.
 
-    base/specular: (..., 4) spectral reflectances; cos_theta broadcasts.
+    base/specular: (4, N) spectral reflectances; cos_theta (N,)
+    broadcasts over the leading spectral axis (channels-first).
     """
     cos_theta_max = 1.0 / 7.0
     cos_theta = jnp.asarray(cos_theta, jnp.float32)
-    if cos_theta.ndim < jnp.asarray(base).ndim:
-        cos_theta = cos_theta[..., None]
     one_minus = jnp.maximum(0.0, 1.0 - cos_theta)
     f_schlick = base + (1.0 - base) * one_minus ** 5
     f_schlick_max = base + (1.0 - base) * (1.0 - cos_theta_max) ** 5

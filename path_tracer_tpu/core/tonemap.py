@@ -39,7 +39,8 @@ _ACES_OUTPUT = np.array(
 
 
 def luminance(color):
-    return jnp.einsum('...c,c->...', color, jnp.asarray(_LUMA))
+    """color: (3, ...) -> (...)."""
+    return jnp.tensordot(jnp.asarray(_LUMA), color, axes=([0], [0]))
 
 
 def tonemap_clamp(color):
@@ -51,7 +52,7 @@ def tonemap_reinhard(color, white_level=1.0):
     max_l = jnp.asarray(white_level, jnp.float32)
     n = old_l * (1.0 + old_l / (max_l * max_l))
     new_l = n / (1.0 + old_l)
-    return color * (new_l / old_l)[..., None]
+    return color * (new_l / old_l)
 
 
 def _hable_partial(x):
@@ -67,10 +68,10 @@ def tonemap_hable(color):
 
 
 def tonemap_aces(color):
-    v = jnp.einsum('ij,...j->...i', jnp.asarray(_ACES_INPUT), color)
+    v = jnp.tensordot(jnp.asarray(_ACES_INPUT), color, axes=([1], [0]))
     a = v * (v + 0.0245786) - 0.000090537
     b = v * (0.983729 * v + 0.4329510) + 0.238081
-    return jnp.einsum('ij,...j->...i', jnp.asarray(_ACES_OUTPUT), a / b)
+    return jnp.tensordot(jnp.asarray(_ACES_OUTPUT), a / b, axes=([1], [0]))
 
 
 def tonemap(color, mode, white_level=1.0):

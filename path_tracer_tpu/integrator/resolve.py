@@ -18,14 +18,14 @@ from ..core.tonemap import tonemap
 
 @partial(jax.jit, static_argnames=('width', 'height', 'mode'))
 def resolve(accum, width, height, brightness=1.0, mode=0, white_level=1.0):
-    """Resolve the (N,3)+(N,) accumulator into an (H, W, 3) image."""
+    """Resolve the (3, N)+(N,) accumulator into an (H, W, 3) image."""
     xyz = accum['xyz']
     count = accum['count']
     color = xyz_to_srgb(xyz * (jnp.asarray(brightness, jnp.float32)
-                               / jnp.maximum(count, 1.0)[:, None]))
-    color = jnp.where((count > 0)[:, None], color, 0.0)
+                               / jnp.maximum(count, 1.0)))
+    color = jnp.where(count > 0, color, 0.0)
     color = tonemap(color, mode, white_level)
     # The reference writes to a UNORM swapchain image, which clamps to
     # [0, 1] in hardware; ACES/Hable can emit slight out-of-range values.
     color = jnp.clip(color, 0.0, 1.0)
-    return color.reshape(height, width, 3)
+    return jnp.moveaxis(color.reshape(3, height, width), 0, -1)

@@ -4,9 +4,11 @@ Fully-masked vectorization of the reference scatter kernel
 (/root/reference/src/integrator/basic_scatter.glsl:44-310): every lane
 computes the volumetric, skybox and surface branches and selects by
 mask; material dispatch is compute-all-and-select (models/dispatch).
-Nested-dielectric priority logic operates on (N, 4) active-shape lists
-with int32 sentinel SHAPE_INDEX_NONE so min-reductions express the
-reference's priority rules directly.
+Channels-first SoA: rays (3, N), spectra (4, N); masks (N,) broadcast
+against channel-leading values for free. Nested-dielectric priority
+logic operates on (ACTIVE_SHAPE_LIMIT, N) active-shape lists with int32
+sentinel SHAPE_INDEX_NONE so min-reductions express the reference's
+priority rules directly.
 """
 
 from __future__ import annotations
@@ -25,9 +27,7 @@ from ..core.constants import (
 from ..core.sampling import (
     Rng,
     coordinate_frame,
-    normalize,
     random_von_mises_fisher,
-    safe_normalize,
     sample_direction_hg,
     von_mises_fisher_pdf,
 )
@@ -36,75 +36,73 @@ from ..core.spectrum import (
     sample_parametric_spectrum_scaled,
     sample_standard_observer,
 )
+from ..core.vec import dot, max4, normalize, splat3, sum4, take_1d, vec3
 from ..models import dispatch
 from ..models.common import fetch_ctx, fetch_medium_ctx, sample_texture
-
-
-def _max4(x):
-    return jnp.max(x, axis=-1)
 
 
 def fetch_medium(packed, shape_index, lam):
     """ResolveMedium (basic_scatter.glsl:44-64) for (N,) shape indices.
 
-    Returns dict(priority (N,) int32, ior (N,4), absorption (N,4),
-    scattering (N,4), anisotropy (N,)). Ambient medium for
+    Returns dict(priority (N,) int32, ior (4, N), absorption (4, N),
+    scattering (4, N), anisotropy (N,)). Ambient medium for
     SHAPE_INDEX_NONE lanes: unit IOR, scene scatter rate.
     """
     n = shape_index.shape[0]
     is_none = shape_index == SHAPE_INDEX_NONE
     safe_shape = jnp.where(is_none, 0, shape_index)
-    material = packed.shape_material[safe_shape]
+    material = take_1d(packed.shape_material, safe_shape)
     # Media never sample textures; use the slim medium-column fetch.
     medium = dispatch.load_medium(fetch_medium_ctx(packed, material, lam))
 
-    ambient_scatter = jnp.broadcast_to(packed.scene_scatter_rate, (n,))
+    ambient_scatter = jnp.broadcast_to(packed.scene_scatter_rate, (4, n))
     return dict(
         priority=jnp.where(is_none, SHAPE_INDEX_NONE, shape_index),
-        ior=jnp.where(is_none[:, None], 1.0, medium['ior']),
-        absorption=jnp.where(is_none[:, None], 0.0, medium['absorption']),
-        scattering=jnp.where(is_none[:, None], ambient_scatter[:, None] *
-                             jnp.asarray([1.0, 1.0, 1.0, 1.0]), medium['scattering']),
+        ior=jnp.where(is_none, 1.0, medium['ior']),
+        absorption=jnp.where(is_none, 0.0, medium['absorption']),
+        scattering=jnp.where(is_none, ambient_scatter, medium['scattering']),
         anisotropy=jnp.where(is_none, 0.0, medium['anisotropy']),
     )
 
 
 def sample_skybox_radiance(packed, direction, lam):
     """SampleSkyboxRadiance (scene.glsl.inc:209-229): equirect lookup of
-    parametric emission spectrum, or the default (0,0,100,1) spectrum."""
-    n = direction.shape[0]
-    phi = jnp.arctan2(direction[:, 1], direction[:, 0])
-    theta = jnp.arcsin(jnp.clip(direction[:, 2], -1.0, 1.0))
-    uv = jnp.stack([0.5 + phi / TAU, 0.5 + theta / PI], axis=-1)
+    parametric emission spectrum, or the default (0,0,100,1) spectrum.
+    direction: (3, N), lam: (4, N) -> (4, N)."""
+    n = direction.shape[1]
+    phi = jnp.arctan2(direction[1], direction[0])
+    theta = jnp.arcsin(jnp.clip(direction[2], -1.0, 1.0))
+    uv = jnp.stack([0.5 + phi / TAU, 0.5 + theta / PI], axis=0)
 
     tex_index = packed.skybox_texture_index
     has_texture = tex_index != TEXTURE_INDEX_NONE
     idx = jnp.broadcast_to(jnp.where(has_texture, tex_index, 0), (n,))
-    spectrum = sample_texture(packed, idx, uv)
-    default = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 100.0, 1.0]), (n, 4))
+    spectrum = sample_texture(packed, idx, uv)  # (4, N)
+    default = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 100.0, 1.0])[:, None], (4, n))
     spectrum = jnp.where(has_texture, spectrum, default)
-    return sample_parametric_spectrum_scaled(
-        spectrum[:, None, :], lam) * packed.skybox_brightness
+    return sample_parametric_spectrum_scaled(spectrum, lam) * packed.skybox_brightness
 
 
 def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng):
     """SampleSurfaceIntegrand (basic_scatter.glsl:66-109): one-sample MIS
     between BSDF importance sampling and vMF skybox light sampling.
 
-    view: (N, 3) direction toward viewer in tangent space.
-    Returns (scattered (N,3), throughput (N,4), probability (N,4), valid).
+    view: (3, N) direction toward viewer in tangent space.
+    Returns (scattered (3, N), throughput (4, N), probability (4, N),
+    valid (N,)).
     """
     has_dirac = dispatch.has_dirac_bsdf(ctx)
     light_probability = jnp.where(
         has_dirac, 0.0, packed.skybox_sampling_probability)
 
     # Skybox mean direction in the hit tangent frame.
-    mean = packed.skybox_mean_direction
-    mean_local = jnp.stack([
-        jnp.sum(mean * hit['tangent'], axis=-1),
-        jnp.sum(mean * hit['bitangent'], axis=-1),
-        jnp.sum(mean * hit['normal'], axis=-1),
-    ], axis=-1)
+    mean = packed.skybox_mean_direction  # (3,)
+    mean_local = vec3(
+        mean[0] * hit['tangent'][0] + mean[1] * hit['tangent'][1] + mean[2] * hit['tangent'][2],
+        mean[0] * hit['bitangent'][0] + mean[1] * hit['bitangent'][1] + mean[2] * hit['bitangent'][2],
+        mean[0] * hit['normal'][0] + mean[1] * hit['normal'][1] + mean[2] * hit['normal'][2],
+    )
 
     u_choice = rng.uniform()
     light_dir = random_von_mises_fisher(
@@ -113,17 +111,15 @@ def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng):
     eval_thr, eval_pdf, eval_ok = dispatch.evaluate_bsdf(ctx, view, light_dir)
 
     use_light = u_choice < light_probability
-    scattered = jnp.where(use_light[:, None], light_dir, bsdf_dir)
-    throughput = jnp.where(use_light[:, None], eval_thr, bsdf_thr)
-    material_pdf = jnp.where(use_light[:, None], eval_pdf, bsdf_pdf)
-    valid = jnp.where(use_light,
-                      eval_ok & (light_dir[:, 2] >= 0.0),
-                      bsdf_ok)
+    scattered = jnp.where(use_light, light_dir, bsdf_dir)
+    throughput = jnp.where(use_light, eval_thr, bsdf_thr)
+    material_pdf = jnp.where(use_light, eval_pdf, bsdf_pdf)
+    valid = jnp.where(use_light, eval_ok & (light_dir[2] >= 0.0), bsdf_ok)
 
     skybox_pdf = von_mises_fisher_pdf(
         packed.skybox_concentration, mean_local, scattered)
-    probability = (light_probability[:, None] * skybox_pdf[:, None]
-                   + (1.0 - light_probability)[:, None] * material_pdf)
+    probability = (light_probability * skybox_pdf
+                   + (1.0 - light_probability) * material_pdf)
     return scattered, throughput, probability, valid
 
 
@@ -131,26 +127,24 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
             termination_probability):
     """One scatter round for all lanes (basic_scatter.glsl:114-310).
 
-    Returns (new_state, new_ray_origin, new_ray_direction, alive (N,)).
-    Dead lanes carry their final `sample` in new_state; the caller
-    accumulates and respawns them.
+    ray_origin/ray_direction: (3, N). Returns (new_state, new_origin,
+    new_direction, alive (N,)). Dead lanes carry their final `sample`
+    in new_state; the caller accumulates and respawns them.
     """
-    n = ray_origin.shape[0]
-    lam = hero_wavelength_cluster(state['lambda0'])  # (N, 4)
+    lam = hero_wavelength_cluster(state['lambda0'])  # (4, N)
 
-    active_shapes = state['active_shapes']
-    active_shape = jnp.min(active_shapes, axis=-1)
+    active_shapes = state['active_shapes']           # (LIMIT, N)
+    active_shape = jnp.min(active_shapes, axis=0)
 
     medium = fetch_medium(packed, active_shape, lam)
 
-    throughput = state['throughput'] * jnp.exp(
-        -medium['absorption'] * hit['time'][:, None])
+    throughput = state['throughput'] * jnp.exp(-medium['absorption'] * hit['time'])
     probability = state['probability']
-    sample = state['sample']
+    sample = state['sample']                         # (3, N)
 
     # Scattering event time at the primary wavelength.
     u_scatter = rng.uniform()
-    rate0 = medium['scattering'][:, 0]
+    rate0 = medium['scattering'][0]
     scattering_time = jnp.where(
         rate0 > 0.0,
         -jnp.log(jnp.maximum(u_scatter, 1e-12)) / jnp.maximum(rate0, 1e-12),
@@ -166,76 +160,73 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     u2 = rng.uniform()
     hg_local = sample_direction_hg(medium['anisotropy'], u1, u2)
     vx, vy = coordinate_frame(ray_direction)
-    vol_dir = normalize(hg_local[:, 0:1] * vx + hg_local[:, 1:2] * vy
-                        + hg_local[:, 2:3] * ray_direction)
-    vol_origin = ray_origin + ray_direction * scattering_time[:, None]
-    density = medium['scattering'] * jnp.exp(
-        -medium['scattering'] * scattering_time[:, None])
-    density = density / jnp.maximum(EPSILON, _max4(density))[:, None]
+    vol_dir = normalize(hg_local[0] * vx + hg_local[1] * vy
+                        + hg_local[2] * ray_direction)
+    vol_origin = ray_origin + ray_direction * scattering_time
+    density = medium['scattering'] * jnp.exp(-medium['scattering'] * scattering_time)
+    density = density / jnp.maximum(EPSILON, max4(density))
     vol_throughput = throughput * density
     vol_probability = probability * density
 
     # --- skybox emission (basic_scatter.glsl:165-172) ----------------------
-    emission = sample_skybox_radiance(packed, ray_direction, lam)
-    cluster_pdf = jnp.sum(probability, axis=-1)
-    observer = sample_standard_observer(lam)  # (N, 4, 3)
-    sky_contrib = jnp.einsum(
-        'nk,nkc->nc', emission * throughput, observer) / jnp.maximum(
-            cluster_pdf, 1e-20)[:, None]
+    emission = sample_skybox_radiance(packed, ray_direction, lam)  # (4, N)
+    cluster_pdf = jnp.maximum(sum4(probability), 1e-20)
+    observer = sample_standard_observer(lam)  # (3, 4, N)
+    weighted = emission * throughput          # (4, N)
+    sky_contrib = jnp.einsum('ckn,kn->cn', observer, weighted) / cluster_pdf
     sky_sample = sample + sky_contrib
 
     # --- surface interaction (basic_scatter.glsl:177-309) ------------------
-    view = -jnp.stack([
-        jnp.sum(ray_direction * hit['tangent'], axis=-1),
-        jnp.sum(ray_direction * hit['bitangent'], axis=-1),
-        jnp.sum(ray_direction * hit['normal'], axis=-1),
-    ], axis=-1)
+    view = -vec3(
+        dot(ray_direction, hit['tangent']),
+        dot(ray_direction, hit['bitangent']),
+        dot(ray_direction, hit['normal']),
+    )
 
-    hit_exterior = view[:, 2] > 0.0
+    hit_exterior = view[2] > 0.0
     shape_priority = hit['shape']
     is_real = jnp.where(hit_exterior,
                         medium['priority'] > shape_priority,
                         medium['priority'] == shape_priority)
 
     # Exterior IOR on the other side of the interface.
-    exclude = jnp.where(active_shapes == active_shape[:, None],
-                        SHAPE_INDEX_NONE, active_shapes)
-    exterior_shape = jnp.min(exclude, axis=-1)
+    exclude = jnp.where(active_shapes == active_shape, SHAPE_INDEX_NONE,
+                        active_shapes)
+    exterior_shape = jnp.min(exclude, axis=0)
     exterior_medium = fetch_medium(packed, exterior_shape, lam)
-    exterior_ior = jnp.where(
-        hit_exterior[:, None], medium['ior'],
-        jnp.where(is_real[:, None], exterior_medium['ior'], 1.0))
-    exterior_ior = jnp.where(is_real[:, None], exterior_ior, 1.0)
+    exterior_ior = jnp.where(hit_exterior, medium['ior'],
+                             jnp.where(is_real, exterior_medium['ior'], 1.0))
+    exterior_ior = jnp.where(is_real, exterior_ior, 1.0)
 
     ctx = fetch_ctx(packed, hit['material'], lam, hit['uv'], exterior_ior)
     scattered, s_throughput, s_probability, s_valid = _sample_surface_integrand(
         packed, ctx, hit, view, rng)
 
-    scale = 1.0 / jnp.maximum(EPSILON, _max4(s_probability))
-    surf_throughput = jnp.where(
-        is_real[:, None], throughput * s_throughput * scale[:, None], throughput)
-    surf_probability = jnp.where(
-        is_real[:, None], probability * s_probability * scale[:, None], probability)
-    in_dir = jnp.where(is_real[:, None], scattered, -view)
+    scale = 1.0 / jnp.maximum(EPSILON, max4(s_probability))
+    surf_throughput = jnp.where(is_real, throughput * s_throughput * scale,
+                                throughput)
+    surf_probability = jnp.where(is_real, probability * s_probability * scale,
+                                 probability)
+    in_dir = jnp.where(is_real, scattered, -view)
     surf_valid = jnp.where(is_real, s_valid, True)
 
     # Active-shape-list bookkeeping on boundary crossings
     # (basic_scatter.glsl:266-292).
-    crossing = in_dir[:, 2] * view[:, 2] < 0.0
+    crossing = in_dir[2] * view[2] < 0.0
     entering = crossing & hit_exterior & surface_event
     leaving = crossing & ~hit_exterior & surface_event
 
     is_none = active_shapes == SHAPE_INDEX_NONE
-    first_none = jnp.argmax(is_none, axis=-1)
-    has_none = jnp.any(is_none, axis=-1)
-    slots = jnp.arange(ACTIVE_SHAPE_LIMIT)
-    insert_mask = (entering & has_none)[:, None] & (slots[None, :] == first_none[:, None])
-    new_active = jnp.where(insert_mask, hit['shape'][:, None], active_shapes)
+    first_none = jnp.argmax(is_none, axis=0)
+    has_none = jnp.any(is_none, axis=0)
+    slots = jnp.arange(ACTIVE_SHAPE_LIMIT)[:, None]
+    insert_mask = (entering & has_none) & (slots == first_none)
+    new_active = jnp.where(insert_mask, hit['shape'], active_shapes)
 
-    matches = new_active == hit['shape'][:, None]
-    first_match = jnp.argmax(matches, axis=-1)
-    has_match = jnp.any(matches, axis=-1)
-    remove_mask = (leaving & has_match)[:, None] & (slots[None, :] == first_match[:, None])
+    matches = new_active == hit['shape']
+    first_match = jnp.argmax(matches, axis=0)
+    has_match = jnp.any(matches, axis=0)
+    remove_mask = (leaving & has_match) & (slots == first_match)
     new_active = jnp.where(remove_mask, SHAPE_INDEX_NONE, new_active)
 
     # Russian roulette (basic_scatter.glsl:294-298).
@@ -243,26 +234,25 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     rr_survive = u_rr >= termination_probability
     surf_probability = surf_probability * (1.0 - termination_probability)
 
-    surf_dir = normalize(
-        in_dir[:, 0:1] * hit['tangent'] + in_dir[:, 1:2] * hit['bitangent']
-        + in_dir[:, 2:3] * hit['normal'])
+    surf_dir = normalize(in_dir[0] * hit['tangent'] + in_dir[1] * hit['bitangent']
+                         + in_dir[2] * hit['normal'])
     surf_origin = hit['position'] + 1e-3 * surf_dir
 
     # --- merge branches -----------------------------------------------------
     new_throughput = jnp.where(
-        vol_scatter[:, None], vol_throughput,
-        jnp.where(sky_hit[:, None], throughput, surf_throughput))
+        vol_scatter, vol_throughput,
+        jnp.where(sky_hit, throughput, surf_throughput))
     new_probability = jnp.where(
-        vol_scatter[:, None], vol_probability,
-        jnp.where(sky_hit[:, None], jnp.zeros_like(probability), surf_probability))
-    new_sample = jnp.where(sky_hit[:, None], sky_sample, sample)
-    new_origin = jnp.where(vol_scatter[:, None], vol_origin,
-                           jnp.where(sky_hit[:, None], ray_origin, surf_origin))
-    new_direction = jnp.where(vol_scatter[:, None], vol_dir,
-                              jnp.where(sky_hit[:, None], ray_direction, surf_dir))
-    new_active = jnp.where(surface_event[:, None], new_active, active_shapes)
+        vol_scatter, vol_probability,
+        jnp.where(sky_hit, jnp.zeros_like(probability), surf_probability))
+    new_sample = jnp.where(sky_hit, sky_sample, sample)
+    new_origin = jnp.where(vol_scatter, vol_origin,
+                           jnp.where(sky_hit, ray_origin, surf_origin))
+    new_direction = jnp.where(vol_scatter, vol_dir,
+                              jnp.where(sky_hit, ray_direction, surf_dir))
+    new_active = jnp.where(surface_event, new_active, active_shapes)
 
-    alive = _max4(new_probability) > EPSILON
+    alive = max4(new_probability) > EPSILON
     alive &= jnp.where(surface_event, surf_valid & rr_survive, True)
     alive &= ~sky_hit
 

@@ -45,20 +45,25 @@ class RenderConfig:
     rounds_per_call: int = 1
 
 
-def reset(packed, config: RenderConfig, seed):
-    """ResetBasicRenderer: fresh paths + camera rays + cleared accumulator."""
-    n = config.width * config.height
-    lane = jnp.arange(n, dtype=jnp.uint32)
-    rng = Rng.seed(lane, seed)
+def reset(packed, config: RenderConfig, seed, lane=None):
+    """ResetBasicRenderer: fresh paths + camera rays + cleared accumulator.
+
+    `lane` optionally restricts this state to a slice of the image's
+    pixels (for pixel-sharded rendering); defaults to all pixels.
+    """
+    if lane is None:
+        lane = jnp.arange(config.width * config.height, dtype=jnp.int32)
+    n = lane.shape[0]
+    rng = Rng.seed(lane.astype(jnp.uint32), seed)
     state, origin, direction = new_paths(
         packed, config.camera_index, config.camera_model,
-        config.width, config.height, rng, config.flags)
+        config.width, config.height, rng, config.flags, lane)
     accum = dict(
-        xyz=jnp.zeros((n, 3), jnp.float32),
+        xyz=jnp.zeros((3, n), jnp.float32),
         count=jnp.zeros((n,), jnp.float32),
     )
     return dict(path=state, origin=origin, direction=direction,
-                accum=accum, rng_state=rng.state)
+                accum=accum, rng_state=rng.state, lane=lane)
 
 
 def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
@@ -82,22 +87,22 @@ def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
         dead = ~alive
         accum = rs['accum']
         if config.flags & RENDER_FLAG_ACCUMULATE:
-            xyz = accum['xyz'] + jnp.where(dead[:, None], path['sample'], 0.0)
+            xyz = accum['xyz'] + jnp.where(dead, path['sample'], 0.0)
             count = accum['count'] + dead.astype(jnp.float32)
         else:
-            xyz = jnp.where(dead[:, None], path['sample'], accum['xyz'])
+            xyz = jnp.where(dead, path['sample'], accum['xyz'])
             count = jnp.where(dead, 1.0, accum['count'])
         accum = dict(xyz=xyz, count=count)
 
         fresh, cam_origin, cam_direction = new_paths(
             packed, config.camera_index, config.camera_model,
-            config.width, config.height, rng, config.flags)
+            config.width, config.height, rng, config.flags, rs['lane'])
         path = merge_paths(path, fresh, dead)
-        origin = jnp.where(dead[:, None], cam_origin, origin)
-        direction = jnp.where(dead[:, None], cam_direction, direction)
+        origin = jnp.where(dead, cam_origin, origin)
+        direction = jnp.where(dead, cam_direction, direction)
 
         return dict(path=path, origin=origin, direction=direction,
-                    accum=accum, rng_state=rng.state)
+                    accum=accum, rng_state=rng.state, lane=rs['lane'])
 
     return jax.lax.fori_loop(0, rounds, one_round, render_state)
 

@@ -1,9 +1,9 @@
 """Basic Diffuse material: Lambertian with texturable base color.
 
 Vectorized equivalent of
-/root/reference/src/scene/basic_diffuse.glsl.inc. Directions are in the
-hit tangent frame (+Z = shading normal); spectral quantities are (N, 4)
-over the hero wavelength cluster.
+/root/reference/src/scene/basic_diffuse.glsl.inc. Channels-first:
+directions (3, N) in the hit tangent frame (+Z = shading normal);
+spectral quantities (4, N) over the hero wavelength cluster.
 
 Naming: `view` is the direction toward the viewer (the reference's BSDF
 "In"), `scattered` is the sampled/evaluated light direction (the
@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.constants import PI
-from ..core.sampling import safe_normalize
+from ..core.vec import safe_normalize, vec3
 
 
 def has_dirac_bsdf(ctx):
@@ -26,7 +26,7 @@ def has_dirac_bsdf(ctx):
 def evaluate_bsdf(ctx, view, scattered):
     """Cosine-lobe evaluation (basic_diffuse.glsl.inc:19-34).
 
-    Returns (throughput (N,4), probability (N,4), valid (N,)).
+    Returns (throughput (4, N), probability (4, N), valid (N,)).
     Deviation from the reference: basic_diffuse.glsl.inc:31 computes the
     PDF from the *view* cosine (`In.z / PI` with In = view). For pure
     BSDF sampling the factor cancels in the throughput/probability
@@ -39,7 +39,7 @@ def evaluate_bsdf(ctx, view, scattered):
     """
     n = ctx['type'].shape[0]
     probability = jnp.broadcast_to(
-        (jnp.maximum(scattered[:, 2], 0.0) / PI)[:, None], (n, 4))
+        jnp.maximum(scattered[2], 0.0) / PI, (4, n))
     throughput = probability * ctx['base_reflectance']
     valid = jnp.ones((n,), jnp.bool_)
     return throughput, probability, valid
@@ -51,7 +51,7 @@ def sample_bsdf(ctx, view, u1, u2, u3):
     z = 2.0 * u1 - 1.0
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     phi = 2.0 * PI * u2
-    sphere = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
-    scattered = safe_normalize(sphere + jnp.asarray([0.0, 0.0, 1.0]))
+    scattered = safe_normalize(
+        vec3(r * jnp.cos(phi), r * jnp.sin(phi), z + 1.0))
     throughput, probability, valid = evaluate_bsdf(ctx, view, scattered)
     return scattered, throughput, probability, valid

@@ -1,6 +1,7 @@
 """Basic Metal material: GGX VNDF with F82-tint spectral Fresnel.
 
 Vectorized equivalent of /root/reference/src/scene/basic_metal.glsl.inc.
+Channels-first: `view`/`scattered` (3, N), spectra (4, N).
 `view` = direction toward viewer (reference BSDF "In"); `scattered` =
 sampled/evaluated light direction (reference BSDF "Out").
 """
@@ -17,11 +18,12 @@ from ..core.sampling import (
     ggx_smith_g1,
     ggx_visible_normal,
 )
+from ..core.vec import dot, safe_normalize
 
 
 def _params(ctx):
     alpha = ggx_roughness_alpha(ctx['roughness'], ctx['roughness_anisotropy'])
-    rough = alpha[:, 0] * alpha[:, 1] > EPSILON
+    rough = alpha[0] * alpha[1] > EPSILON
     return alpha, rough
 
 
@@ -35,23 +37,22 @@ def evaluate_bsdf(ctx, view, scattered):
     probability = G1(view) D(h) / (4 cos(view)) -- the VNDF pdf;
     throughput = probability * G1(scattered) * F(view.h).
     """
-    n = view.shape[0]
+    n = view.shape[1]
     alpha, rough = _params(ctx)
-    valid = (view[:, 2] > 0.0) & (scattered[:, 2] > 0.0) & rough
+    valid = (view[2] > 0.0) & (scattered[2] > 0.0) & rough
 
-    half = view + scattered
-    half = half / jnp.maximum(jnp.linalg.norm(half, axis=-1, keepdims=True), 1e-12)
+    half = safe_normalize(view + scattered)
 
     gm = ggx_smith_g1(view, alpha)
     d = ggx_distribution(half, alpha)
     probability = jnp.broadcast_to(
-        (gm * d / (4.0 * jnp.maximum(view[:, 2], 1e-8)))[:, None], (n, 4))
+        gm * d / (4.0 * jnp.maximum(view[2], 1e-8)), (4, n))
 
     gs = ggx_smith_g1(scattered, alpha)
-    cos_view_half = jnp.sum(view * half, axis=-1)
+    cos_view_half = dot(view, half)
     f = schlick_fresnel_metal(ctx['base_reflectance'],
                               ctx['specular_reflectance'], cos_view_half)
-    throughput = probability * gs[:, None] * f
+    throughput = probability * gs * f
     return throughput, probability, valid
 
 
@@ -59,23 +60,22 @@ def sample_bsdf(ctx, view, u1, u2, u3):
     """basic_metal.glsl.inc:86-141: VNDF half-vector sample + mirror
     reflection; Dirac surfaces (roughness < 1e-3) report probability 1
     as the coefficient of an implied delta distribution."""
-    n = view.shape[0]
+    n = view.shape[1]
     alpha, rough = _params(ctx)
-    valid = view[:, 2] > 0.0
+    valid = view[2] > 0.0
 
     normal = ggx_visible_normal(view, alpha, u1, u2)
-    cos_theta = jnp.minimum(jnp.sum(normal * view, axis=-1), 1.0)
-    scattered = 2.0 * cos_theta[:, None] * normal - view
-    valid &= scattered[:, 2] > 0.0
+    cos_theta = jnp.minimum(dot(normal, view), 1.0)
+    scattered = 2.0 * cos_theta * normal - view
+    valid &= scattered[2] > 0.0
 
     gm = ggx_smith_g1(view, alpha)
     d = ggx_distribution(normal, alpha)
-    rough_pdf = gm * d / (4.0 * jnp.maximum(view[:, 2], 1e-8))
-    probability = jnp.broadcast_to(
-        jnp.where(rough, rough_pdf, 1.0)[:, None], (n, 4))
+    rough_pdf = gm * d / (4.0 * jnp.maximum(view[2], 1e-8))
+    probability = jnp.broadcast_to(jnp.where(rough, rough_pdf, 1.0), (4, n))
 
     gs = ggx_smith_g1(scattered, alpha)
     f = schlick_fresnel_metal(ctx['base_reflectance'],
                               ctx['specular_reflectance'], cos_theta)
-    throughput = probability * gs[:, None] * f
+    throughput = probability * gs * f
     return scattered, throughput, probability, valid

@@ -1,9 +1,10 @@
 """Shared material machinery: texture sampling and attribute fetch.
 
 Equivalent of the texture/material accessor layer of the reference
-(/root/reference/src/scene/scene.glsl.inc:181-302). Material attributes
-come from the column-oriented MaterialTable; per-lane parameters are
-gathered once into a `MaterialCtx` dict by `fetch_ctx` so the individual
+(/root/reference/src/scene/scene.glsl.inc:181-302). Channels-first: UVs
+are (2, N), spectra (3/4, N); material attributes come from the
+column-oriented MaterialTable with gathers along the trailing material
+axis, collected once per scatter into a `ctx` dict so the individual
 BSDF models are pure elementwise math.
 """
 
@@ -13,29 +14,30 @@ import jax.numpy as jnp
 
 from ..core.constants import TEXTURE_FLAG_FILTER_NEAREST, TEXTURE_INDEX_NONE
 from ..core.spectrum import sample_parametric_spectrum
+from ..core.vec import take_1d
 
 
 def sample_texture(packed, texture_index, uv):
     """Sample the texture atlas (scene.glsl.inc:181-205).
 
     texture_index: (N,) int32 (TEXTURE_INDEX_NONE allowed -- result is
-    garbage for those lanes; callers mask). uv: (N, 2). Returns (N, 4).
+    garbage for those lanes; callers mask). uv: (2, N). Returns (4, N).
     Applies per-texture placement with wrap, then nearest or bilinear
     filtering by texture flag.
     """
     safe_idx = jnp.where(texture_index == TEXTURE_INDEX_NONE, 0, texture_index)
-    pmin = packed.texture_placement_min[safe_idx]  # (N, 2)
-    pmax = packed.texture_placement_max[safe_idx]
-    layer = packed.texture_layer[safe_idx]
-    flags = packed.texture_flags[safe_idx]
+    pmin = _col(packed.texture_placement_min, safe_idx)  # (2, N)
+    pmax = _col(packed.texture_placement_max, safe_idx)
+    layer = take_1d(packed.texture_layer, safe_idx)
+    flags = take_1d(packed.texture_flags, safe_idx)
 
     frac_uv = uv - jnp.floor(uv)
-    u = pmin[:, 0] + (pmax[:, 0] - pmin[:, 0]) * frac_uv[:, 0]
-    v = pmin[:, 1] + (pmax[:, 1] - pmin[:, 1]) * frac_uv[:, 1]
+    u = pmin[0] + (pmax[0] - pmin[0]) * frac_uv[0]
+    v = pmin[1] + (pmax[1] - pmin[1]) * frac_uv[1]
 
-    atlas = packed.atlas
-    size = atlas.shape[1]
-    flat = atlas.reshape(-1, 4)
+    atlas = packed.atlas  # (4, L, S, S)
+    size = atlas.shape[2]
+    flat = atlas.reshape(4, -1)
 
     # Texel-space coordinates with half-texel convention.
     x = u * size - 0.5
@@ -44,13 +46,14 @@ def sample_texture(packed, texture_index, uv):
     def fetch(px, py):
         px = jnp.clip(px, 0, size - 1)
         py = jnp.clip(py, 0, size - 1)
-        return flat[(layer * size + py) * size + px]
+        idx = (layer * size + py) * size + px
+        return jnp.stack([jnp.take(flat[c], idx) for c in range(4)], axis=0)
 
     # Bilinear.
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[:, None]
-    fy = (y - y0)[:, None]
+    fx = x - x0
+    fy = y - y0
     c00 = fetch(x0, y0)
     c10 = fetch(x0 + 1, y0)
     c01 = fetch(x0, y0 + 1)
@@ -63,24 +66,35 @@ def sample_texture(packed, texture_index, uv):
     nearest = fetch(xn, yn)
 
     use_nearest = (flags & TEXTURE_FLAG_FILTER_NEAREST) != 0
-    return jnp.where(use_nearest[:, None], nearest, linear)
+    return jnp.where(use_nearest, nearest, linear)
 
 
 def texturable_reflectance(packed, beta, texture_index, lam, uv):
     """Spectral reflectance of a texturable color attribute
-    (scene.glsl.inc:276-290). beta: (N, 3), lam: (N, 4). Returns (N, 4)."""
-    value = sample_parametric_spectrum(beta[:, None, :], lam)
+    (scene.glsl.inc:276-290). beta: (3, N), lam: (4, N) -> (4, N)."""
+    value = sample_parametric_spectrum(beta, lam)
     has_texture = texture_index != TEXTURE_INDEX_NONE
-    tex_beta = sample_texture(packed, texture_index, uv)[:, :3]
-    tex_value = sample_parametric_spectrum(tex_beta[:, None, :], lam)
-    return jnp.where(has_texture[:, None], value * tex_value, value)
+    tex_beta = sample_texture(packed, texture_index, uv)[:3]
+    tex_value = sample_parametric_spectrum(tex_beta, lam)
+    return jnp.where(has_texture, value * tex_value, value)
 
 
 def texturable_value(packed, value, texture_index, uv):
     """Scalar texturable attribute (scene.glsl.inc:292-302)."""
     has_texture = texture_index != TEXTURE_INDEX_NONE
-    tex = sample_texture(packed, texture_index, uv)[:, 0]
+    tex = sample_texture(packed, texture_index, uv)[0]
     return jnp.where(has_texture, value * tex, value)
+
+
+def _col(table_column, i):
+    """Gather a material column at lane material indices.
+
+    Multi-component columns gather per component row (see core/vec.py
+    take_vec rationale: slice gathers force lane-hostile layouts)."""
+    if table_column.ndim == 1:
+        return take_1d(table_column, i)
+    return jnp.stack([take_1d(table_column[c], i)
+                      for c in range(table_column.shape[0])], axis=0)
 
 
 def fetch_medium_ctx(packed, material_index, lam):
@@ -88,18 +102,18 @@ def fetch_medium_ctx(packed, material_index, lam):
     m = packed.materials
     i = material_index
     return dict(
-        type=m.type[i],
+        type=_col(m.type, i),
         lam=lam,
-        ior=m.ior[i],
-        abbe_number=m.abbe_number[i],
-        transmission_spectrum=m.transmission_spectrum[i],
-        transmission_depth=m.transmission_depth[i],
-        scattering_spectrum=m.scattering_spectrum[i],
-        scattering_anisotropy=m.scattering_anisotropy[i],
-        specular_ior=m.specular_ior[i],
-        transmission_scatter_spectrum=m.transmission_scatter_spectrum[i],
-        transmission_scatter_anisotropy=m.transmission_scatter_anisotropy[i],
-        transmission_dispersion_abbe=m.transmission_dispersion_abbe[i],
+        ior=_col(m.ior, i),
+        abbe_number=_col(m.abbe_number, i),
+        transmission_spectrum=_col(m.transmission_spectrum, i),
+        transmission_depth=_col(m.transmission_depth, i),
+        scattering_spectrum=_col(m.scattering_spectrum, i),
+        scattering_anisotropy=_col(m.scattering_anisotropy, i),
+        specular_ior=_col(m.specular_ior, i),
+        transmission_scatter_spectrum=_col(m.transmission_scatter_spectrum, i),
+        transmission_scatter_anisotropy=_col(m.transmission_scatter_anisotropy, i),
+        transmission_dispersion_abbe=_col(m.transmission_dispersion_abbe, i),
     )
 
 
@@ -113,43 +127,45 @@ def fetch_ctx(packed, material_index, lam, uv, exterior_ior):
     m = packed.materials
     i = material_index
     ctx = dict(
-        type=m.type[i],
+        type=_col(m.type, i),
         lam=lam,
         uv=uv,
         exterior_ior=exterior_ior,
         base_reflectance=texturable_reflectance(
-            packed, m.base_spectrum[i], m.base_texture[i], lam, uv),
+            packed, _col(m.base_spectrum, i), _col(m.base_texture, i), lam, uv),
         specular_reflectance=texturable_reflectance(
-            packed, m.specular_spectrum[i], m.specular_texture[i], lam, uv),
+            packed, _col(m.specular_spectrum, i), _col(m.specular_texture, i),
+            lam, uv),
         roughness=texturable_value(
-            packed, m.roughness[i], m.roughness_texture[i], uv),
+            packed, _col(m.roughness, i), _col(m.roughness_texture, i), uv),
         roughness_anisotropy=texturable_value(
-            packed, m.roughness_anisotropy[i], m.roughness_anisotropy_texture[i], uv),
-        ior=m.ior[i],
-        abbe_number=m.abbe_number[i],
-        transmission_spectrum=m.transmission_spectrum[i],
-        transmission_depth=m.transmission_depth[i],
-        scattering_spectrum=m.scattering_spectrum[i],
-        scattering_anisotropy=m.scattering_anisotropy[i],
+            packed, _col(m.roughness_anisotropy, i),
+            _col(m.roughness_anisotropy_texture, i), uv),
+        ior=_col(m.ior, i),
+        abbe_number=_col(m.abbe_number, i),
+        transmission_spectrum=_col(m.transmission_spectrum, i),
+        transmission_depth=_col(m.transmission_depth, i),
+        scattering_spectrum=_col(m.scattering_spectrum, i),
+        scattering_anisotropy=_col(m.scattering_anisotropy, i),
         # OpenPBR columns.
-        base_weight=m.base_weight[i],
-        base_metalness=m.base_metalness[i],
-        base_diffuse_roughness=m.base_diffuse_roughness[i],
-        specular_weight=m.specular_weight[i],
-        specular_ior=m.specular_ior[i],
-        transmission_weight=m.transmission_weight[i],
-        transmission_scatter_spectrum=m.transmission_scatter_spectrum[i],
-        transmission_scatter_anisotropy=m.transmission_scatter_anisotropy[i],
-        transmission_dispersion_abbe=m.transmission_dispersion_abbe[i],
-        coat_weight=m.coat_weight[i],
-        coat_spectrum=m.coat_spectrum[i],
-        coat_ior=m.coat_ior[i],
-        coat_roughness=m.coat_roughness[i],
-        coat_roughness_anisotropy=m.coat_roughness_anisotropy[i],
-        coat_darkening=m.coat_darkening[i],
-        emission_spectrum=m.emission_spectrum[i],
-        emission_texture=m.emission_texture[i],
-        emission_luminance=m.emission_luminance[i],
-        layer_bounce_limit=m.layer_bounce_limit[i],
+        base_weight=_col(m.base_weight, i),
+        base_metalness=_col(m.base_metalness, i),
+        base_diffuse_roughness=_col(m.base_diffuse_roughness, i),
+        specular_weight=_col(m.specular_weight, i),
+        specular_ior=_col(m.specular_ior, i),
+        transmission_weight=_col(m.transmission_weight, i),
+        transmission_scatter_spectrum=_col(m.transmission_scatter_spectrum, i),
+        transmission_scatter_anisotropy=_col(m.transmission_scatter_anisotropy, i),
+        transmission_dispersion_abbe=_col(m.transmission_dispersion_abbe, i),
+        coat_weight=_col(m.coat_weight, i),
+        coat_spectrum=_col(m.coat_spectrum, i),
+        coat_ior=_col(m.coat_ior, i),
+        coat_roughness=_col(m.coat_roughness, i),
+        coat_roughness_anisotropy=_col(m.coat_roughness_anisotropy, i),
+        coat_darkening=_col(m.coat_darkening, i),
+        emission_spectrum=_col(m.emission_spectrum, i),
+        emission_texture=_col(m.emission_texture, i),
+        emission_luminance=_col(m.emission_luminance, i),
+        layer_bounce_limit=_col(m.layer_bounce_limit, i),
     )
     return ctx

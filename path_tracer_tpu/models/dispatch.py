@@ -23,15 +23,17 @@ from . import basic_diffuse, basic_metal, basic_translucent, openpbr
 
 
 def _select(mat_type, results):
-    """Select per-lane results from {material_type: value} by type."""
+    """Select per-lane results from {material_type: value} by type.
+
+    Channels-first means (N,) masks broadcast against (C, N) values with
+    no reshaping.
+    """
     types = list(results.keys())
     out = results[types[0]]
     for t in types[1:]:
         mask = mat_type == t
         if isinstance(out, tuple):
-            out = tuple(
-                jnp.where(mask.reshape(mask.shape + (1,) * (o.ndim - mask.ndim)), n, o)
-                for o, n in zip(out, results[t]))
+            out = tuple(jnp.where(mask, n, o) for o, n in zip(out, results[t]))
         else:
             out = jnp.where(mask, results[t], out)
     return out
@@ -82,9 +84,9 @@ def load_medium(ctx):
     OpenPBR materials define an interior medium."""
     n = ctx['type'].shape[0]
     default = dict(
-        ior=jnp.ones((n, 4)),
-        absorption=jnp.zeros((n, 4)),
-        scattering=jnp.zeros((n, 4)),
+        ior=jnp.ones((4, n)),
+        absorption=jnp.zeros((4, n)),
+        scattering=jnp.zeros((4, n)),
         anisotropy=jnp.zeros((n,)),
         has_medium=jnp.zeros((n,), jnp.bool_),
     )
@@ -95,8 +97,6 @@ def load_medium(ctx):
         v = default[key]
         for t, r in ((MATERIAL_TYPE_BASIC_TRANSLUCENT, translucent),
                      (MATERIAL_TYPE_OPENPBR, pbr)):
-            mask = ctx['type'] == t
-            rv = r[key]
-            v = jnp.where(mask.reshape(mask.shape + (1,) * (rv.ndim - mask.ndim)), rv, v)
+            v = jnp.where(ctx['type'] == t, r[key], v)
         out[key] = v
     return out

@@ -6,7 +6,9 @@ stackless-stack BVH walk, analytic plane/sphere/cube in object space,
 hit attribute resolution). The design differs from the SIMT original
 where it matters for TPU:
 
-  * Analytic shapes are intersected as a dense (N_rays, S_shapes)
+  * Channels-first SoA everywhere (core/vec.py): rays are (3, N), so
+    the lane axis rides the 128-wide minor dimension with no padding.
+  * Analytic shapes are intersected as a dense (S_shapes, N_rays)
     broadcast batch -- no gathers at all; the winner is an argmin.
   * Mesh instances are traced one instance at a time (a static Python
     loop over the compile-time instance list), each as a vectorized
@@ -40,7 +42,19 @@ from ..core.constants import (
     SHAPE_TYPE_SPHERE,
     TAU,
 )
-from ..core.sampling import compute_tangent_vector, normalize, safe_normalize
+from ..core.vec import (
+    cross,
+    dot,
+    safe_normalize,
+    take_1d,
+    take_matrix,
+    take_vec,
+    transform_normal,
+    transform_point,
+    transform_vector,
+    vec3,
+)
+from ..core.sampling import compute_tangent_vector
 
 MAX_LEAF_FACES = 4
 STACK_DEPTH = 48
@@ -80,50 +94,40 @@ def make_hit(n, duration):
         shape_type=jnp.zeros((n,), jnp.int32),
         primitive=jnp.zeros((n,), jnp.int32),
         # Shape-dependent primitive coordinates (barycentrics / local pos).
-        coords=jnp.zeros((n, 3), jnp.float32),
+        coords=jnp.zeros((3, n), jnp.float32),
     )
 
 
-def transform_rays(origin, direction, matrix):
-    """Apply a 4x4 matrix to ray origins (as points) and directions (as
-    vectors). matrix: (4, 4) or broadcastable batch."""
-    rot = matrix[..., :3, :3]
-    o = jnp.einsum('...ij,nj->ni', rot, origin) + matrix[..., :3, 3]
-    d = jnp.einsum('...ij,nj->ni', rot, direction)
-    return o, d
-
-
 def intersect_aabb(origin, inv_dir, reach, lo, hi):
-    """Slab test (common.glsl.inc:153-185). Broadcasts over any batch.
-
-    Returns entry time, INFINITY on miss/occluded.
-    """
-    t0 = (lo - origin) * inv_dir
-    t1 = (hi - origin) * inv_dir
-    earlier = jnp.minimum(t0, t1)
-    later = jnp.maximum(t0, t1)
-    entry = jnp.max(earlier, axis=-1)
-    exit_ = jnp.min(later, axis=-1)
+    """Slab test (common.glsl.inc:153-185). origin/inv_dir: (3, N);
+    lo/hi: (3, N) or broadcastable. Returns entry time, INFINITY on miss."""
+    entry = -jnp.inf
+    exit_ = jnp.inf
+    for c in range(3):
+        t0 = (lo[c] - origin[c]) * inv_dir[c]
+        t1 = (hi[c] - origin[c]) * inv_dir[c]
+        entry = jnp.maximum(entry, jnp.minimum(t0, t1))
+        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
     miss = (exit_ < entry) | (exit_ <= 0.0) | (entry >= reach)
     return jnp.where(miss, INFINITY, entry)
 
 
 def moller_trumbore(origin, direction, p0, p1, p2, t_max):
-    """Watertight-enough Moller-Trumbore (scene.glsl.inc:304-334).
+    """Moller-Trumbore triangle test (scene.glsl.inc:304-334).
 
-    All inputs broadcast; returns (t, u, v, valid).
+    All inputs (3, N)-style channels-first; returns (t, u, v, valid).
     """
     e1 = p1 - p0
     e2 = p2 - p0
-    pvec = jnp.cross(direction, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
+    pvec = cross(direction, e2)
+    det = dot(e1, pvec)
     valid = jnp.abs(det) >= EPSILON
     inv_det = 1.0 / jnp.where(valid, det, 1.0)
     s = origin - p0
-    u = inv_det * jnp.sum(s * pvec, axis=-1)
-    qvec = jnp.cross(s, e1)
-    v = inv_det * jnp.sum(direction * qvec, axis=-1)
-    t = inv_det * jnp.sum(e2 * qvec, axis=-1)
+    u = inv_det * dot(s, pvec)
+    qvec = cross(s, e1)
+    v = inv_det * dot(direction, qvec)
+    t = inv_det * dot(e2, qvec)
     valid &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
     valid &= (t >= 0.0) & (t <= t_max)
     return t, u, v, valid
@@ -133,16 +137,16 @@ def moller_trumbore(origin, direction, p0, p1, p2, t_max):
 
 
 def _intersect_plane(o, d, reach):
-    dz = jnp.where(jnp.abs(d[..., 2]) < 1e-12, 1e-12, d[..., 2])
-    t = -o[..., 2] / dz
+    dz = jnp.where(jnp.abs(d[2]) < 1e-12, 1e-12, d[2])
+    t = -o[2] / dz
     hit = (t >= 0.0) & (t <= reach)
     return jnp.where(hit, t, INFINITY)
 
 
 def _intersect_sphere(o, d, reach):
-    v = jnp.sum(d * d, axis=-1)
-    p = jnp.sum(o * d, axis=-1)
-    q = jnp.sum(o * o, axis=-1) - 1.0
+    v = dot(d, d)
+    p = dot(o, d)
+    q = dot(o, o) - 1.0
     d2 = p * p - q * v
     ok = d2 >= 0.0
     sq = jnp.sqrt(jnp.maximum(d2, 0.0))
@@ -155,13 +159,14 @@ def _intersect_sphere(o, d, reach):
 
 
 def _intersect_cube(o, d, reach):
-    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
-    t0 = (-1.0 - o) * inv
-    t1 = (+1.0 - o) * inv
-    earlier = jnp.minimum(t0, t1)
-    later = jnp.maximum(t0, t1)
-    entry = jnp.max(earlier, axis=-1)
-    exit_ = jnp.min(later, axis=-1)
+    entry = -jnp.inf
+    exit_ = jnp.inf
+    for c in range(3):
+        inv = 1.0 / jnp.where(jnp.abs(d[c]) < 1e-12, 1e-12, d[c])
+        t0 = (-1.0 - o[c]) * inv
+        t1 = (+1.0 - o[c]) * inv
+        entry = jnp.maximum(entry, jnp.minimum(t0, t1))
+        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
     t = jnp.where(entry < 0.0, exit_, entry)
     ok = (exit_ >= entry) & (exit_ > 0.0) & (t < reach)
     return jnp.where(ok, t, INFINITY)
@@ -170,20 +175,28 @@ def _intersect_cube(o, d, reach):
 def intersect_analytic(packed, layout: SceneLayout, origin, direction, hit):
     """Intersect all analytic shapes as one broadcast batch and merge.
 
-    Builds (N, S_analytic) hit-time matrices via object-space transforms;
-    no per-lane gathers except the final (N,) winner lookups into
-    S_analytic-sized constant tables.
+    origin/direction: (3, N). Builds (S, N) hit-time matrices via
+    object-space transforms (matrices statically sliced per shape -- no
+    gathers); the winner is an argmin over the S axis.
     """
     if not layout.analytic_shapes:
         return hit
     idx = np.asarray([i for i, _ in layout.analytic_shapes], np.int32)
     types = np.asarray([t for _, t in layout.analytic_shapes], np.int32)
 
-    from_world = packed.shape_object_from_world[jnp.asarray(idx)]  # (S,4,4)
-    rot = from_world[:, :3, :3]
-    # (S, N, 3) object-space rays.
-    o = jnp.einsum('sij,nj->sni', rot, origin) + from_world[:, None, :3, 3]
-    d = jnp.einsum('sij,nj->sni', rot, direction)
+    from_world = packed.shape_object_from_world[:, :, jnp.asarray(idx)]  # (4,4,S)
+    # (3, S, N) object-space rays via per-component broadcast.
+    m = from_world[:, :, :, None]  # (4, 4, S, 1)
+    o = jnp.stack([
+        m[i, 0, :, 0][:, None] * origin[0] + m[i, 1, :, 0][:, None] * origin[1]
+        + m[i, 2, :, 0][:, None] * origin[2] + m[i, 3, :, 0][:, None]
+        for i in range(3)
+    ], axis=0)
+    d = jnp.stack([
+        m[i, 0, :, 0][:, None] * direction[0] + m[i, 1, :, 0][:, None] * direction[1]
+        + m[i, 2, :, 0][:, None] * direction[2]
+        for i in range(3)
+    ], axis=0)
 
     reach = hit['time'][None, :]
     t_plane = _intersect_plane(o, d, reach)
@@ -198,10 +211,11 @@ def intersect_analytic(packed, layout: SceneLayout, origin, direction, hit):
     best_t = jnp.take_along_axis(t, best[None, :], axis=0)[0]
     improved = best_t < hit['time']
 
-    # Local hit position of the winning shape.
-    bo = jnp.take_along_axis(o, best[None, :, None], axis=0)[0]
-    bd = jnp.take_along_axis(d, best[None, :, None], axis=0)[0]
-    local = bo + bd * best_t[:, None]
+    # Local hit position of the winning shape: gather the winner's
+    # object-space ray from the (3, S, N) stacks.
+    bo = jnp.take_along_axis(o, best[None, None, :], axis=1)[:, 0]  # (3, N)
+    bd = jnp.take_along_axis(d, best[None, None, :], axis=1)[:, 0]
+    local = bo + bd * best_t
 
     shape_idx = jnp.asarray(idx)[best]
     shape_type = jnp.asarray(types)[best]
@@ -211,7 +225,7 @@ def intersect_analytic(packed, layout: SceneLayout, origin, direction, hit):
         shape=jnp.where(improved, shape_idx, hit['shape']),
         shape_type=jnp.where(improved, shape_type, hit['shape_type']),
         primitive=jnp.where(improved, 0, hit['primitive']),
-        coords=jnp.where(improved[:, None], local, hit['coords']),
+        coords=jnp.where(improved, local, hit['coords']),
     )
 
 
@@ -223,35 +237,46 @@ def traverse_mesh_bvh(packed, root: int, origin, direction, hit, shape_index: in
 
     Follows the reference's near-child-first two-fetch scheme
     (scene.glsl.inc:336-399) with an explicit (N, STACK_DEPTH) stack.
-    origin/direction are already in mesh object space. Loop bounds are
-    static; lanes run until every lane's stack is exhausted.
+    origin/direction: (3, N), already in mesh object space (velocity
+    parameterization keeps t consistent with world space). Loop bounds
+    are static; lanes run until every lane's stack is exhausted.
     """
-    n = origin.shape[0]
+    n = origin.shape[1]
     inv_dir = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
 
-    node_min = packed.mesh_node_min
+    node_min = packed.mesh_node_min   # (3, B)
     node_max = packed.mesh_node_max
     node_a = packed.mesh_node_a
     node_b = packed.mesh_node_b
-    face_pos = packed.face_positions
+    face_pos = packed.face_positions  # (3 verts, 3 comps, F)
+
+    def gather_box(node_idx):
+        # Per-component gathers (see core/vec.py take_vec rationale).
+        lo = take_vec(node_min, node_idx)
+        hi = take_vec(node_max, node_idx)
+        return lo, hi
 
     # Prune rays that miss the root bounding box entirely.
-    root_entry = intersect_aabb(origin, inv_dir, hit['time'],
-                                node_min[root], node_max[root])
+    root_lo = node_min[:, root][:, None]
+    root_hi = node_max[:, root][:, None]
+    root_entry = intersect_aabb(origin, inv_dir, hit['time'], root_lo, root_hi)
     start = jnp.where(root_entry < INFINITY, jnp.int32(root), jnp.int32(-1))
 
+    # The traversal stack is (STACK_DEPTH, N) channels-first and is
+    # pushed/popped with one-hot selects instead of scatters/gathers:
+    # measured 16x faster than per-lane scatter on TPU.
     state = dict(
         node=start,
-        stack=jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        stack=jnp.zeros((STACK_DEPTH, n), jnp.int32),
         depth=jnp.zeros((n,), jnp.int32),
         time=hit['time'],
         primitive=hit['primitive'],
-        u=hit['coords'][:, 1],
-        v=hit['coords'][:, 2],
+        u=hit['coords'][1],
+        v=hit['coords'][2],
         found=jnp.zeros((n,), jnp.bool_),
     )
 
-    lane = jnp.arange(n)
+    slots = jnp.arange(STACK_DEPTH)[:, None]
 
     def cond(state):
         return jnp.any((state['node'] >= 0) | (state['depth'] > 0))
@@ -262,15 +287,15 @@ def traverse_mesh_bvh(packed, root: int, origin, direction, hit, shape_index: in
         # Pop for lanes with no current node.
         need_pop = (node < 0) & (depth > 0)
         depth = jnp.where(need_pop, depth - 1, depth)
-        pop_idx = jnp.clip(depth, 0, STACK_DEPTH - 1)
-        popped = jnp.take_along_axis(stack, pop_idx[:, None], axis=1)[:, 0]
+        pop_slot = jnp.clip(depth, 0, STACK_DEPTH - 1)
+        popped = jnp.sum(jnp.where(slots == pop_slot, stack, 0), axis=0)
         node = jnp.where(need_pop, popped, node)
 
         active = node >= 0
         safe_node = jnp.maximum(node, 0)
 
-        a = node_a[safe_node]
-        b = node_b[safe_node]
+        a = jnp.take(node_a, safe_node)
+        b = jnp.take(node_b, safe_node)
         is_leaf = active & (b > 0)
         is_internal = active & (b == 0)
 
@@ -282,9 +307,11 @@ def traverse_mesh_bvh(packed, root: int, origin, direction, hit, shape_index: in
             face = a + k
             face_ok = is_leaf & (face < b)
             safe_face = jnp.where(face_ok, face, 0)
-            p = face_pos[safe_face]  # (N, 3, 3)
+            p0 = take_vec(face_pos[0], safe_face)
+            p1 = take_vec(face_pos[1], safe_face)
+            p2 = take_vec(face_pos[2], safe_face)
             t, fu, fv, valid = moller_trumbore(
-                origin, direction, p[:, 0], p[:, 1], p[:, 2], time)
+                origin, direction, p0, p1, p2, time)
             take = face_ok & valid & (t < time)
             time = jnp.where(take, t, time)
             primitive = jnp.where(take, safe_face, primitive)
@@ -295,14 +322,14 @@ def traverse_mesh_bvh(packed, root: int, origin, direction, hit, shape_index: in
         # Internal: fetch both children, near-first, push far.
         child_a = jnp.where(is_internal, a, 0)
         child_b = child_a + 1
-        ta = jnp.where(
-            is_internal,
-            intersect_aabb(origin, inv_dir, time, node_min[child_a], node_max[child_a]),
-            INFINITY)
-        tb = jnp.where(
-            is_internal,
-            intersect_aabb(origin, inv_dir, time, node_min[child_b], node_max[child_b]),
-            INFINITY)
+        lo_a, hi_a = gather_box(child_a)
+        lo_b, hi_b = gather_box(child_b)
+        ta = jnp.where(is_internal,
+                       intersect_aabb(origin, inv_dir, time, lo_a, hi_a),
+                       INFINITY)
+        tb = jnp.where(is_internal,
+                       intersect_aabb(origin, inv_dir, time, lo_b, hi_b),
+                       INFINITY)
 
         near = jnp.where(ta <= tb, child_a, child_b)
         far = jnp.where(ta <= tb, child_b, child_a)
@@ -311,8 +338,8 @@ def traverse_mesh_bvh(packed, root: int, origin, direction, hit, shape_index: in
 
         next_node = jnp.where(is_internal & (t_near < INFINITY), near, jnp.int32(-1))
         push = is_internal & (t_far < INFINITY) & (t_near < INFINITY) & (depth < STACK_DEPTH)
-        stack = stack.at[lane, jnp.minimum(depth, STACK_DEPTH - 1)].set(
-            jnp.where(push, far, stack[lane, jnp.minimum(depth, STACK_DEPTH - 1)]))
+        push_slot = jnp.minimum(depth, STACK_DEPTH - 1)
+        stack = jnp.where(push & (slots == push_slot), far, stack)
         depth = jnp.where(push, depth + 1, depth)
         # Only-far-hit case: go directly to far child.
         only_far = is_internal & (t_near == INFINITY) & (t_far < INFINITY)
@@ -326,13 +353,14 @@ def traverse_mesh_bvh(packed, root: int, origin, direction, hit, shape_index: in
     state = jax.lax.while_loop(cond, body, state)
 
     improved = state['found']
-    coords = jnp.stack([1.0 - state['u'] - state['v'], state['u'], state['v']], axis=-1)
+    coords = jnp.stack([1.0 - state['u'] - state['v'], state['u'], state['v']],
+                       axis=0)
     return dict(
         time=jnp.where(improved, state['time'], hit['time']),
         shape=jnp.where(improved, shape_index, hit['shape']),
         shape_type=jnp.where(improved, SHAPE_TYPE_MESH_INSTANCE, hit['shape_type']),
         primitive=jnp.where(improved, state['primitive'], hit['primitive']),
-        coords=jnp.where(improved[:, None], coords, hit['coords']),
+        coords=jnp.where(improved, coords, hit['coords']),
     )
 
 
@@ -340,101 +368,97 @@ def resolve_hit_attributes(packed, layout: SceneLayout, origin, direction, hit):
     """Compute world normal, tangent frame, UV and material of each hit.
 
     Equivalent of the attribute-resolution tail of Trace()
-    (scene.glsl.inc:532-611). Transform handling: analytic normals are
-    generated inside each shape's static pass to avoid matrix gathers is
-    not possible post-reduction, so the winning shape's matrices are
-    gathered once per lane here (a small-table gather).
+    (scene.glsl.inc:532-611). The winning shape's matrices are gathered
+    once per lane (a small-table gather along the trailing axis).
     """
-    n = origin.shape[0]
+    n = origin.shape[1]
     shape = hit['shape']
     valid = shape != SHAPE_INDEX_NONE
     safe_shape = jnp.where(valid, shape, 0)
 
-    to_world = packed.shape_world_from_object[safe_shape]    # (N, 4, 4)
-    from_world = packed.shape_object_from_world[safe_shape]  # (N, 4, 4)
-    material = packed.shape_material[safe_shape]
+    to_world = take_matrix(packed.shape_world_from_object, safe_shape)
+    from_world = take_matrix(packed.shape_object_from_world, safe_shape)
+    material = take_1d(packed.shape_material, safe_shape)
 
-    coords = hit['coords']
+    coords = hit['coords']  # (3, N)
     stype = hit['shape_type']
+    zeros = jnp.zeros(n)
+    ones = jnp.ones(n)
 
     # --- mesh: barycentric-interpolated vertex attributes -----------------
     prim = hit['primitive']
-    fv = packed.face_vertices[prim]          # (N, 3)
-    n0 = packed.vertex_normals[fv[:, 0]]
-    n1 = packed.vertex_normals[fv[:, 1]]
-    n2 = packed.vertex_normals[fv[:, 2]]
+    fv = take_vec(packed.face_vertices, prim)          # (3, N)
+    n0 = take_vec(packed.vertex_normals, fv[0])        # (3, N)
+    n1 = take_vec(packed.vertex_normals, fv[1])
+    n2 = take_vec(packed.vertex_normals, fv[2])
     mesh_normal_obj = safe_normalize(
-        n0 * coords[:, 0:1] + n1 * coords[:, 1:2] + n2 * coords[:, 2:3])
-    uv0 = packed.vertex_uvs[fv[:, 0]]
-    uv1 = packed.vertex_uvs[fv[:, 1]]
-    uv2 = packed.vertex_uvs[fv[:, 2]]
-    mesh_uv = uv0 * coords[:, 0:1] + uv1 * coords[:, 1:2] + uv2 * coords[:, 2:3]
+        n0 * coords[0] + n1 * coords[1] + n2 * coords[2])
+    uv0 = take_vec(packed.vertex_uvs, fv[0])           # (2, N)
+    uv1 = take_vec(packed.vertex_uvs, fv[1])
+    uv2 = take_vec(packed.vertex_uvs, fv[2])
+    mesh_uv = uv0 * coords[0] + uv1 * coords[1] + uv2 * coords[2]
 
     # --- analytic normals in object space ----------------------------------
-    plane_normal_obj = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    plane_normal_obj = vec3(zeros, zeros, ones)
     sphere_normal_obj = coords
     q = jnp.abs(coords)
-    cube_axis_x = (q[:, 0] >= q[:, 1]) & (q[:, 0] >= q[:, 2])
-    cube_axis_y = ~cube_axis_x & (q[:, 1] >= q[:, 0]) & (q[:, 1] >= q[:, 2])
-    sx = jnp.sign(coords[:, 0])
-    sy = jnp.sign(coords[:, 1])
-    sz = jnp.sign(coords[:, 2])
-    zeros = jnp.zeros(n)
+    cube_axis_x = (q[0] >= q[1]) & (q[0] >= q[2])
+    cube_axis_y = ~cube_axis_x & (q[1] >= q[0]) & (q[1] >= q[2])
+    sx = jnp.sign(coords[0])
+    sy = jnp.sign(coords[1])
+    sz = jnp.sign(coords[2])
     cube_normal_obj = jnp.where(
-        cube_axis_x[:, None], jnp.stack([sx, zeros, zeros], -1),
-        jnp.where(cube_axis_y[:, None], jnp.stack([zeros, sy, zeros], -1),
-                  jnp.stack([zeros, zeros, sz], -1)))
+        cube_axis_x, vec3(sx, zeros, zeros),
+        jnp.where(cube_axis_y, vec3(zeros, sy, zeros), vec3(zeros, zeros, sz)))
+
+    is_mesh = stype == SHAPE_TYPE_MESH_INSTANCE
+    is_plane = stype == SHAPE_TYPE_PLANE
+    is_sphere = stype == SHAPE_TYPE_SPHERE
 
     normal_obj = jnp.where(
-        (stype == SHAPE_TYPE_MESH_INSTANCE)[:, None], mesh_normal_obj,
-        jnp.where((stype == SHAPE_TYPE_PLANE)[:, None], plane_normal_obj,
-                  jnp.where((stype == SHAPE_TYPE_SPHERE)[:, None], sphere_normal_obj,
-                            cube_normal_obj)))
+        is_mesh, mesh_normal_obj,
+        jnp.where(is_plane, plane_normal_obj,
+                  jnp.where(is_sphere, sphere_normal_obj, cube_normal_obj)))
 
     # Normal transform: normalize(N^T * from_world) (common.glsl.inc:50-53).
-    normal = safe_normalize(jnp.einsum('nj,nji->ni', normal_obj, from_world[:, :3, :3]))
+    normal = transform_normal(normal_obj, from_world)
 
     # Tangents (scene.glsl.inc:555, :563, :573, :584-604).
     mesh_tangent = compute_tangent_vector(normal)
-    plane_tangent_obj = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    plane_tangent_obj = vec3(ones, zeros, zeros)
     p = coords
-    sphere_tangent_obj = jnp.cross(p, jnp.stack([-p[:, 1], p[:, 0], zeros], -1))
+    sphere_tangent_obj = cross(p, vec3(-p[1], p[0], zeros))
     cube_tangent_obj = jnp.where(
-        cube_axis_x[:, None], jnp.stack([zeros, sx, zeros], -1),
-        jnp.where(cube_axis_y[:, None], jnp.stack([zeros, zeros, sy], -1),
-                  jnp.stack([sz, zeros, zeros], -1)))
+        cube_axis_x, vec3(zeros, sx, zeros),
+        jnp.where(cube_axis_y, vec3(zeros, zeros, sy), vec3(sz, zeros, zeros)))
     analytic_tangent_obj = jnp.where(
-        (stype == SHAPE_TYPE_PLANE)[:, None], plane_tangent_obj,
-        jnp.where((stype == SHAPE_TYPE_SPHERE)[:, None], sphere_tangent_obj,
-                  cube_tangent_obj))
+        is_plane, plane_tangent_obj,
+        jnp.where(is_sphere, sphere_tangent_obj, cube_tangent_obj))
     analytic_tangent = safe_normalize(
-        jnp.einsum('nij,nj->ni', to_world[:, :3, :3], analytic_tangent_obj))
-    tangent = jnp.where((stype == SHAPE_TYPE_MESH_INSTANCE)[:, None],
-                        mesh_tangent, analytic_tangent)
-    bitangent = jnp.cross(normal, tangent)
-    # Re-orthogonalize the frame (tangent might not be exactly orthogonal
-    # to the transformed normal under non-uniform scale).
-    tangent = jnp.cross(bitangent, normal)
-    tangent = safe_normalize(tangent)
-    bitangent = jnp.cross(normal, tangent)
+        transform_vector(to_world, analytic_tangent_obj))
+    tangent = jnp.where(is_mesh, mesh_tangent, analytic_tangent)
+    bitangent = cross(normal, tangent)
+    # Re-orthogonalize (tangent may drift off-orthogonal under
+    # non-uniform instance scales).
+    tangent = safe_normalize(cross(bitangent, normal))
+    bitangent = cross(normal, tangent)
 
     # UV per shape type.
-    plane_uv = coords[:, :2] - jnp.floor(coords[:, :2])
+    plane_uv = coords[:2] - jnp.floor(coords[:2])
     sphere_uv = jnp.stack([
-        (jnp.arctan2(p[:, 1], p[:, 0]) + PI) / TAU,
-        (p[:, 2] + 1.0) * 0.5,
-    ], -1)
+        (jnp.arctan2(p[1], p[0]) + PI) / TAU,
+        (p[2] + 1.0) * 0.5,
+    ], axis=0)
     cube_uv = jnp.where(
-        cube_axis_x[:, None], 0.5 * (1.0 + coords[:, 1:3]),
-        jnp.where(cube_axis_y[:, None],
-                  0.5 * (1.0 + jnp.stack([coords[:, 0], coords[:, 2]], -1)),
-                  0.5 * (1.0 + coords[:, 0:2])))
-    uv = jnp.where((stype == SHAPE_TYPE_MESH_INSTANCE)[:, None], mesh_uv,
-                   jnp.where((stype == SHAPE_TYPE_PLANE)[:, None], plane_uv,
-                             jnp.where((stype == SHAPE_TYPE_SPHERE)[:, None],
-                                       sphere_uv, cube_uv)))
+        cube_axis_x, 0.5 * (1.0 + coords[1:3]),
+        jnp.where(cube_axis_y,
+                  0.5 * (1.0 + jnp.stack([coords[0], coords[2]], 0)),
+                  0.5 * (1.0 + coords[0:2])))
+    uv = jnp.where(is_mesh, mesh_uv,
+                   jnp.where(is_plane, plane_uv,
+                             jnp.where(is_sphere, sphere_uv, cube_uv)))
 
-    position = origin + direction * hit['time'][:, None]
+    position = origin + direction * hit['time']
 
     return dict(
         time=hit['time'],
@@ -453,14 +477,15 @@ def resolve_hit_attributes(packed, layout: SceneLayout, origin, direction, hit):
 def trace(packed, layout: SceneLayout, origin, direction, duration=HIT_TIME_LIMIT):
     """Full trace: intersect every shape, resolve hit attributes.
 
-    Returns the resolved hit SoA dict. Lanes that hit nothing have
-    shape == SHAPE_INDEX_NONE and time == duration.
+    origin/direction: (3, N). Returns the resolved hit SoA dict. Lanes
+    that hit nothing have shape == SHAPE_INDEX_NONE and time == duration.
     """
-    n = origin.shape[0]
+    n = origin.shape[1]
     hit = make_hit(n, duration)
     hit = intersect_analytic(packed, layout, origin, direction, hit)
     for shape_index, root in layout.mesh_instances:
-        from_world = packed.shape_object_from_world[shape_index]
-        o, d = transform_rays(origin, direction, from_world)
+        fw = packed.shape_object_from_world[:, :, shape_index]
+        o = transform_point(fw, origin)
+        d = transform_vector(fw, direction)
         hit = traverse_mesh_bvh(packed, root, o, d, hit, shape_index)
     return resolve_hit_attributes(packed, layout, origin, direction, hit)

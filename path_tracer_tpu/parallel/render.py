@@ -1,0 +1,82 @@
+"""Multi-chip progressive rendering over a TPU device mesh.
+
+The reference is single-GPU; its only "communication" is Vulkan
+semaphores between queues (SURVEY.md section 2.3). The TPU-native
+scaling axes are:
+
+  * `pixels`: the framebuffer's path lanes are sharded across devices
+    (each device owns a contiguous pixel slice -- the analogue of tiling
+    the wavefront SSBOs). No collectives in the hot loop; the image is
+    assembled from shards at resolve.
+  * `batch`: every device renders the full image with an independent
+    sample stream; per-device accumulators are merged with a psum.
+    This is BASELINE.json's "progressive accumulation sharded across a
+    TPU pod" configuration.
+
+Both compose on a 2D ('batch', 'pixels') mesh: lanes shard over the
+pixel axis, seeds decorrelate over the batch axis, and the accumulator
+psum rides the batch axis only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core.sampling import Rng
+from ..integrator.wavefront import RenderConfig, render_rounds, reset
+from ..ops.intersect import SceneLayout
+
+
+def make_mesh(devices=None, batch=1, pixels=None):
+    """Build a ('batch', 'pixels') mesh over the given (or all) devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if pixels is None:
+        pixels = n // batch
+    assert batch * pixels == n, (batch, pixels, n)
+    arr = np.asarray(devices).reshape(batch, pixels)
+    return Mesh(arr, ('batch', 'pixels'))
+
+
+def render_sharded(packed, config: RenderConfig, rounds, mesh: Mesh,
+                   seed=0, termination_probability=0.05, layout=None):
+    """Render `rounds` wavefront rounds sharded over `mesh`.
+
+    Returns a global accumulator dict (xyz (N,3), count (N,)) for the
+    full image, already psum-merged over the batch axis. The scene is
+    replicated; path state lives sharded on-device for the whole loop.
+    """
+    layout = layout or SceneLayout.from_packed(packed)
+    n = config.width * config.height
+    n_pixel_shards = mesh.shape['pixels']
+    n_batch = mesh.shape['batch']
+    assert n % n_pixel_shards == 0, (n, n_pixel_shards)
+
+    lane = jnp.arange(n, dtype=jnp.int32)
+    # Per-batch-row seeds decorrelate sample streams.
+    seeds = jnp.asarray(seed, jnp.uint32) + jnp.arange(n_batch, dtype=jnp.uint32)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P('pixels'), P('batch')),
+        out_specs=(P(None, 'pixels'), P('pixels')),
+        check_vma=False,
+    )
+    def run(packed_rep, lane_shard, seed_shard):
+        state = reset(packed_rep, config, seed_shard[0], lane_shard)
+        state = render_rounds(packed_rep, layout, config, state,
+                              jnp.float32(termination_probability), rounds)
+        # Merge the independent per-batch accumulators.
+        xyz = jax.lax.psum(state['accum']['xyz'], 'batch')
+        count = jax.lax.psum(state['accum']['count'], 'batch')
+        return xyz, count
+
+    xyz, count = jax.jit(run)(packed, lane, seeds)
+    return dict(xyz=xyz, count=count)

@@ -133,23 +133,23 @@ class PackedScene:
     shape_type: Any             # (S,) int32
     shape_material: Any         # (S,) int32 material slot
     shape_mesh_root: Any        # (S,) int32 mesh BVH root node
-    shape_world_from_object: Any  # (S, 4, 4) float32
-    shape_object_from_world: Any  # (S, 4, 4) float32
+    shape_world_from_object: Any  # (4, 4, S) float32 (lane axis last)
+    shape_object_from_world: Any  # (4, 4, S) float32
 
     # TLAS over shapes (agglomerative merge, scene.cpp:1402-1492).
-    tlas_min: Any               # (T, 3)
-    tlas_max: Any               # (T, 3)
+    tlas_min: Any               # (3, T)
+    tlas_max: Any               # (3, T)
     tlas_child_a: Any           # (T,) int32; 0 when leaf
     tlas_child_b: Any           # (T,) int32; 0 when leaf
     tlas_shape: Any             # (T,) int32 shape index for leaves
 
     # Mesh geometry (all meshes concatenated, indices rebased).
-    face_positions: Any         # (F, 3, 3)
-    face_vertices: Any          # (F, 3) int32
-    vertex_normals: Any         # (V, 3)
-    vertex_uvs: Any             # (V, 2)
-    mesh_node_min: Any          # (B, 3)
-    mesh_node_max: Any          # (B, 3)
+    face_positions: Any         # (3 verts, 3 comps, F)
+    face_vertices: Any          # (3, F) int32
+    vertex_normals: Any         # (3, V)
+    vertex_uvs: Any             # (2, V)
+    mesh_node_min: Any          # (3, B)
+    mesh_node_max: Any          # (3, B)
     mesh_node_a: Any            # (B,) int32: child index | face begin
     mesh_node_b: Any            # (B,) int32: 0 | face end
 
@@ -163,10 +163,10 @@ class PackedScene:
     camera_sensor_size: Any     # (C, 2)
     camera_world_from_camera: Any  # (C, 4, 4)
 
-    # Texture atlas.
-    atlas: Any                  # (L, A, A, 4)
-    texture_placement_min: Any  # (T, 2)
-    texture_placement_max: Any  # (T, 2)
+    # Texture atlas (channels-first).
+    atlas: Any                  # (4, L, A, A)
+    texture_placement_min: Any  # (2, T)
+    texture_placement_max: Any  # (2, T)
     texture_layer: Any          # (T,) int32
     texture_flags: Any          # (T,) int32
 
@@ -285,7 +285,12 @@ def _pack_materials(scene: Scene, table):
             cols['layer_bounce_limit'][i] = mat.layer_bounce_limit
         mat.packed_material_index = i
 
-    return MaterialTable(**{k: jnp.asarray(v) for k, v in cols.items()})
+    # Channels-first: spectra are stored (3, M) so per-lane gathers along
+    # the trailing axis yield (3, N) with the lane axis minor.
+    return MaterialTable(**{
+        k: jnp.asarray(np.ascontiguousarray(v.T) if v.ndim == 2 else v)
+        for k, v in cols.items()
+    })
 
 
 def _pack_meshes(scene: Scene):
@@ -327,13 +332,16 @@ def _pack_meshes(scene: Scene):
             return np.concatenate(parts).astype(dtype)
         return np.zeros(empty_shape, dtype)
 
+    # Channels-first device layouts: lane/gather axis last.
     return dict(
-        face_positions=cat(face_positions, (1, 3, 3)),
-        face_vertices=cat(face_vertices, (1, 3), np.int32),
-        vertex_normals=cat(vertex_normals, (1, 3)),
-        vertex_uvs=cat(vertex_uvs, (1, 2)),
-        mesh_node_min=cat(node_min, (1, 3)),
-        mesh_node_max=cat(node_max, (1, 3)),
+        face_positions=np.ascontiguousarray(
+            cat(face_positions, (1, 3, 3)).transpose(1, 2, 0)),
+        face_vertices=np.ascontiguousarray(
+            cat(face_vertices, (1, 3), np.int32).T),
+        vertex_normals=np.ascontiguousarray(cat(vertex_normals, (1, 3)).T),
+        vertex_uvs=np.ascontiguousarray(cat(vertex_uvs, (1, 2)).T),
+        mesh_node_min=np.ascontiguousarray(cat(node_min, (1, 3)).T),
+        mesh_node_max=np.ascontiguousarray(cat(node_max, (1, 3)).T),
         mesh_node_a=cat(node_a, (1,), np.int32),
         mesh_node_b=cat(node_b, (1,), np.int32),
     )
@@ -342,8 +350,8 @@ def _pack_meshes(scene: Scene):
 def _shape_bounds(shape_type, world_from_object, mesh_root, mesh_node_min, mesh_node_max):
     """World AABB of a shape (scene.cpp:1031-1093)."""
     if shape_type == SHAPE_TYPE_MESH_INSTANCE:
-        lo = mesh_node_min[mesh_root]
-        hi = mesh_node_max[mesh_root]
+        lo = mesh_node_min[:, mesh_root]
+        hi = mesh_node_max[:, mesh_root]
     elif shape_type == SHAPE_TYPE_PLANE:
         lo = np.array([-1e9, -1e9, -1e-9], np.float32)
         hi = np.array([+1e9, +1e9, +1e-9], np.float32)
@@ -370,7 +378,7 @@ def _build_tlas(bounds_min, bounds_max):
     node_shape = [SHAPE_INDEX_NONE]
 
     if s == 0:
-        return (np.stack(node_min), np.stack(node_max),
+        return (np.stack(node_min, axis=-1), np.stack(node_max, axis=-1),
                 np.asarray(child_a, np.int32), np.asarray(child_b, np.int32),
                 np.asarray(node_shape, np.int32))
 
@@ -436,8 +444,8 @@ def _build_tlas(bounds_min, bounds_max):
     for arr in (node_min, node_max, child_a, child_b, node_shape):
         arr.pop()
 
-    return (np.stack(node_min).astype(np.float32),
-            np.stack(node_max).astype(np.float32),
+    return (np.stack(node_min, axis=-1).astype(np.float32),
+            np.stack(node_max, axis=-1).astype(np.float32),
             np.asarray(child_a, np.int32), np.asarray(child_b, np.int32),
             np.asarray(node_shape, np.int32))
 
@@ -487,19 +495,22 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
             texture.packed_texture_index = i
         if metas:
             out.update(
-                texture_placement_min=jnp.asarray(np.stack([m.placement_min for m in metas])),
-                texture_placement_max=jnp.asarray(np.stack([m.placement_max for m in metas])),
+                texture_placement_min=jnp.asarray(
+                    np.stack([m.placement_min for m in metas], axis=-1)),
+                texture_placement_max=jnp.asarray(
+                    np.stack([m.placement_max for m in metas], axis=-1)),
                 texture_layer=jnp.asarray([m.layer for m in metas], jnp.int32),
                 texture_flags=jnp.asarray([m.flags for m in metas], jnp.int32),
             )
         else:
             out.update(
-                texture_placement_min=jnp.zeros((1, 2)),
-                texture_placement_max=jnp.ones((1, 2)),
+                texture_placement_min=jnp.zeros((2, 1)),
+                texture_placement_max=jnp.ones((2, 1)),
                 texture_layer=jnp.zeros(1, jnp.int32),
                 texture_flags=jnp.zeros(1, jnp.int32),
             )
-        out['atlas'] = jnp.asarray(atlas)
+        out['atlas'] = jnp.asarray(
+            np.ascontiguousarray(atlas.transpose(3, 0, 1, 2)))
         dirty |= SCENE_DIRTY_MATERIALS | SCENE_DIRTY_SKYBOX_TEXTURE
 
     if dirty & SCENE_DIRTY_MATERIALS:
@@ -546,16 +557,18 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
                 shape_type=jnp.asarray(shape_type, jnp.int32),
                 shape_material=jnp.asarray(shape_material, jnp.int32),
                 shape_mesh_root=jnp.asarray(shape_mesh_root, jnp.int32),
-                shape_world_from_object=jnp.asarray(np.stack(world_from_object)),
-                shape_object_from_world=jnp.asarray(np.stack(object_from_world)),
+                shape_world_from_object=jnp.asarray(
+                    np.stack(world_from_object, axis=-1)),
+                shape_object_from_world=jnp.asarray(
+                    np.stack(object_from_world, axis=-1)),
             )
         else:
             out.update(
                 shape_type=jnp.zeros(1, jnp.int32),
                 shape_material=jnp.zeros(1, jnp.int32),
                 shape_mesh_root=jnp.zeros(1, jnp.int32),
-                shape_world_from_object=jnp.eye(4)[None],
-                shape_object_from_world=jnp.eye(4)[None],
+                shape_world_from_object=jnp.eye(4)[:, :, None],
+                shape_object_from_world=jnp.eye(4)[:, :, None],
             )
 
         tl_min, tl_max, tl_a, tl_b, tl_shape = _build_tlas(bounds_lo, bounds_hi)

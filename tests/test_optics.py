@@ -49,31 +49,32 @@ def test_total_internal_reflection():
 
 
 def test_schlick_metal_limits():
-    base = jnp.asarray([[0.9, 0.8, 0.7, 0.6]])
-    spec = jnp.ones((1, 4))
+    # Channels-first: (4, N) spectra.
+    base = jnp.asarray([[0.9], [0.8], [0.7], [0.6]])
+    spec = jnp.ones((4, 1))
     # Normal incidence -> base reflectance.
     f = np.asarray(optics.schlick_fresnel_metal(base, spec, jnp.asarray([1.0])))
-    np.testing.assert_allclose(f[0], np.asarray(base)[0], atol=1e-5)
+    np.testing.assert_allclose(f[:, 0], np.asarray(base)[:, 0], atol=1e-5)
     # Grazing -> 1 (with specular tint 1).
     f = np.asarray(optics.schlick_fresnel_metal(base, spec, jnp.asarray([0.0])))
-    np.testing.assert_allclose(f[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(f[:, 0], 1.0, atol=1e-5)
 
 
 def test_tonemaps_basic_properties():
-    c = jnp.asarray([[0.5, 0.25, 0.125], [4.0, 2.0, 1.0]])
+    # Channels-first: (3, N) colors.
+    c = jnp.asarray([[0.5, 4.0], [0.25, 2.0], [0.125, 1.0]])
     for mode in (TONE_MAPPING_MODE_CLAMP, TONE_MAPPING_MODE_REINHARD,
                  TONE_MAPPING_MODE_HABLE, TONE_MAPPING_MODE_ACES):
         out = np.asarray(tonemap.tonemap(c, mode, white_level=4.0))
-        assert out.shape == (2, 3)
+        assert out.shape == (3, 2)
         assert np.isfinite(out).all()
     # Clamp golden.
     out = np.asarray(tonemap.tonemap(c, TONE_MAPPING_MODE_CLAMP))
-    np.testing.assert_allclose(out[1], [1.0, 1.0, 1.0])
+    np.testing.assert_allclose(out[:, 1], [1.0, 1.0, 1.0])
     # Reinhard maps white_level to ~1.
-    lum_in = 1.0
-    col = jnp.asarray([[lum_in, lum_in, lum_in]])
+    col = jnp.ones((3, 1))
     out = np.asarray(tonemap.tonemap_reinhard(col, white_level=1.0))
     np.testing.assert_allclose(out, 1.0, atol=1e-5)
     # ACES black -> ~0.
-    out = np.asarray(tonemap.tonemap_aces(jnp.zeros((1, 3))))
+    out = np.asarray(tonemap.tonemap_aces(jnp.zeros((3, 1))))
     assert np.abs(out).max() < 1e-3

@@ -22,7 +22,7 @@ def test_observer_goldens():
     np.testing.assert_allclose(xyz, [x, y, z], rtol=1e-5)
     # Y peaks near 555 nm and is near zero at the extremes.
     lams = np.linspace(CIE_LAMBDA_MIN, CIE_LAMBDA_MAX, 471)
-    ys = np.asarray(sp.sample_standard_observer(lams))[:, 1]
+    ys = np.asarray(sp.sample_standard_observer(lams))[1]
     assert 550 < lams[np.argmax(ys)] < 560
     assert ys[0] < 1e-3 and ys[-1] < 1e-3
 
@@ -47,7 +47,7 @@ def test_parametric_spectrum_range_and_monotone_sigmoid():
 
 
 def test_xyz_srgb_roundtrip():
-    rgb = np.random.RandomState(0).rand(100, 3).astype(np.float32)
+    rgb = np.random.RandomState(0).rand(3, 100).astype(np.float32)
     back = np.asarray(sp.xyz_to_srgb(sp.srgb_to_xyz(jnp.asarray(rgb))))
     # The reference's 4-decimal matrices are not exact inverses of each
     # other; ~1.5e-2 roundtrip error is inherent to its constants.

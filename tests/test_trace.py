@@ -1,4 +1,7 @@
-"""Trace-stage correctness: BVH traversal vs brute force, analytics."""
+"""Trace-stage correctness: BVH traversal vs brute force, analytics.
+
+Channels-first: rays are (3, N); packed tables have the gather axis last.
+"""
 
 import numpy as np
 import jax.numpy as jnp
@@ -8,11 +11,7 @@ from path_tracer_tpu.core.constants import (
     MATERIAL_TYPE_BASIC_DIFFUSE,
     SHAPE_INDEX_NONE,
 )
-from path_tracer_tpu.ops.intersect import (
-    SceneLayout,
-    moller_trumbore,
-    trace,
-)
+from path_tracer_tpu.ops.intersect import SceneLayout, trace
 from path_tracer_tpu.scene.bvh import build_bvh, validate_bvh
 from path_tracer_tpu.scene.compile import compile_scene
 from path_tracer_tpu.scene.model import (
@@ -36,23 +35,34 @@ def _mesh_scene(part, transform=None):
 
 def _random_rays(n, seed, spread=4.0):
     rs = np.random.RandomState(seed)
-    origin = rs.randn(n, 3).astype(np.float32) * spread
-    target = rs.randn(n, 3).astype(np.float32) * 0.5
+    origin = rs.randn(3, n).astype(np.float32) * spread
+    target = rs.randn(3, n).astype(np.float32) * 0.5
     direction = target - origin
-    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    direction /= np.linalg.norm(direction, axis=0, keepdims=True)
     return jnp.asarray(origin), jnp.asarray(direction)
 
 
 def _brute_force_t(packed, origin, direction):
-    """Reference: closest triangle hit over all faces, vectorized numpy."""
-    tris = np.asarray(packed.face_positions)  # (F, 3, 3)
-    o = np.asarray(origin)[:, None, :]
-    d = np.asarray(direction)[:, None, :]
-    t, u, v, ok = moller_trumbore(
-        jnp.asarray(o), jnp.asarray(d),
-        jnp.asarray(tris[None, :, 0]), jnp.asarray(tris[None, :, 1]),
-        jnp.asarray(tris[None, :, 2]), jnp.asarray(HIT_TIME_LIMIT))
-    t = np.where(np.asarray(ok), np.asarray(t), np.inf)
+    """Reference: closest triangle hit over all faces, plain numpy."""
+    fp = np.asarray(packed.face_positions)        # (3 verts, 3 comps, F)
+    p0 = fp[0].T[None]                            # (1, F, 3)
+    p1 = fp[1].T[None]
+    p2 = fp[2].T[None]
+    o = np.asarray(origin).T[:, None, :]          # (N, 1, 3)
+    d = np.asarray(direction).T[:, None, :]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    pvec = np.cross(d, e2)
+    det = (e1 * pvec).sum(-1)
+    ok = np.abs(det) >= 1e-9
+    inv = 1.0 / np.where(ok, det, 1.0)
+    s = o - p0
+    u = inv * (s * pvec).sum(-1)
+    qvec = np.cross(s, e1)
+    v = inv * (d * qvec).sum(-1)
+    t = inv * (e2 * qvec).sum(-1)
+    ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= 0)
+    t = np.where(ok, t, np.inf)
     return t.min(axis=1)
 
 
@@ -79,10 +89,10 @@ def test_bvh_traversal_with_instance_transform():
 
     # Brute force in object space: transform rays, compare the *world* t
     # (velocity-scaled parameterization keeps t consistent across spaces).
-    from_world = np.asarray(packed.shape_object_from_world[0])
-    o = np.asarray(origin) @ from_world[:3, :3].T + from_world[:3, 3]
-    d = np.asarray(direction) @ from_world[:3, :3].T
-    t_ref = _brute_force_t(packed, jnp.asarray(o), jnp.asarray(d))
+    from_world = np.asarray(packed.shape_object_from_world[:, :, 0])
+    o = from_world[:3, :3] @ np.asarray(origin) + from_world[:3, 3:4]
+    d = from_world[:3, :3] @ np.asarray(direction)
+    t_ref = _brute_force_t(packed, o, d)
     t_bvh = np.where(np.asarray(hit['shape']) == SHAPE_INDEX_NONE, np.inf,
                      np.asarray(hit['time']))
     np.testing.assert_allclose(t_bvh, t_ref, rtol=1e-4, atol=1e-5)
@@ -106,15 +116,16 @@ def test_sphere_normal_and_uv():
                         transform=Transform(position=[0, 0, 0], scale=2.0))
     packed = compile_scene(scene)
     layout = SceneLayout.from_packed(packed)
-    origin = jnp.asarray([[0.0, -5.0, 0.0]])
-    direction = jnp.asarray([[0.0, 1.0, 0.0]])
+    origin = jnp.asarray([[0.0], [-5.0], [0.0]])
+    direction = jnp.asarray([[0.0], [1.0], [0.0]])
     hit = trace(packed, layout, origin, direction)
     assert np.isclose(float(hit['time'][0]), 3.0, atol=1e-4)  # radius 2
-    np.testing.assert_allclose(np.asarray(hit['normal'][0]), [0, -1, 0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hit['normal'][:, 0]), [0, -1, 0],
+                               atol=1e-4)
     # Tangent frame is orthonormal.
-    t = np.asarray(hit['tangent'][0])
-    b = np.asarray(hit['bitangent'][0])
-    nrm = np.asarray(hit['normal'][0])
+    t = np.asarray(hit['tangent'][:, 0])
+    b = np.asarray(hit['bitangent'][:, 0])
+    nrm = np.asarray(hit['normal'][:, 0])
     assert abs(t @ nrm) < 1e-5 and abs(b @ nrm) < 1e-5 and abs(t @ b) < 1e-5
 
 
@@ -125,8 +136,8 @@ def test_mesh_wins_over_analytic_when_closer():
                         transform=Transform(position=[0, 3.0, 0]))
     packed = compile_scene(scene)
     layout = SceneLayout.from_packed(packed)
-    origin = jnp.asarray([[0.0, -5.0, 0.0]])
-    direction = jnp.asarray([[0.0, 1.0, 0.0]])
+    origin = jnp.asarray([[0.0], [-5.0], [0.0]])
+    direction = jnp.asarray([[0.0], [1.0], [0.0]])
     hit = trace(packed, layout, origin, direction)
     # The mesh sphere at origin (t=4) should win over the analytic at t=7.
     assert np.isclose(float(hit['time'][0]), 4.0, atol=0.05)
