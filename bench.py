@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 NORTH_STAR_MRAYS = 200.0
 WIDTH, HEIGHT = 1920, 1080
 WARMUP_ROUNDS = 4
-TIMED_ROUNDS = 32
+TIMED_ROUNDS = 12
+CHUNK = 2  # rounds per device call (long single calls trip watchdogs)
 
 
 def main():
@@ -50,8 +51,9 @@ def main():
           file=sys.stderr)
 
     t0 = time.time()
-    state = _render_jit(packed, layout, config, state, term, TIMED_ROUNDS)
-    jax.block_until_ready(state['accum']['xyz'])
+    for _ in range(TIMED_ROUNDS // CHUNK):
+        state = _render_jit(packed, layout, config, state, term, CHUNK)
+        jax.block_until_ready(state['accum']['xyz'])
     elapsed = time.time() - t0
 
     lanes = WIDTH * HEIGHT

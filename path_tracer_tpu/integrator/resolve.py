@@ -18,7 +18,13 @@ from ..core.tonemap import tonemap
 
 @partial(jax.jit, static_argnames=('width', 'height', 'mode'))
 def resolve(accum, width, height, brightness=1.0, mode=0, white_level=1.0):
-    """Resolve the (3, N)+(N,) accumulator into an (H, W, 3) image."""
+    """Resolve the (3, N)+(N,) accumulator into an (H, W, 3) image.
+
+    Lanes are tile-swizzled (integrator/state.py lane_to_pixel); the
+    inverse permutation is applied here, once per resolve.
+    """
+    from .state import pixel_to_lane_permutation, use_tile_swizzle
+
     xyz = accum['xyz']
     count = accum['count']
     color = xyz_to_srgb(xyz * (jnp.asarray(brightness, jnp.float32)
@@ -28,4 +34,7 @@ def resolve(accum, width, height, brightness=1.0, mode=0, white_level=1.0):
     # The reference writes to a UNORM swapchain image, which clamps to
     # [0, 1] in hardware; ACES/Hable can emit slight out-of-range values.
     color = jnp.clip(color, 0.0, 1.0)
+    if use_tile_swizzle(width, height):
+        perm = jnp.asarray(pixel_to_lane_permutation(width, height))
+        color = color[:, perm]
     return jnp.moveaxis(color.reshape(3, height, width), 0, -1)

@@ -65,23 +65,25 @@ def fetch_medium(packed, shape_index, lam):
     )
 
 
-def sample_skybox_radiance(packed, direction, lam):
+def sample_skybox_radiance(packed, direction, lam, has_texture=True,
+                           atlas_size=8):
     """SampleSkyboxRadiance (scene.glsl.inc:209-229): equirect lookup of
     parametric emission spectrum, or the default (0,0,100,1) spectrum.
-    direction: (3, N), lam: (4, N) -> (4, N)."""
+    direction: (3, N), lam: (4, N) -> (4, N). `has_texture` is static:
+    textureless skies skip the atlas taps entirely."""
     n = direction.shape[1]
+    if not has_texture:
+        default = jnp.asarray([0.0, 0.0, 100.0, 1.0])[:, None]
+        spectrum = jnp.broadcast_to(default, (4, n))
+        return (sample_parametric_spectrum_scaled(spectrum, lam)
+                * packed.skybox_brightness)
     phi = jnp.arctan2(direction[1], direction[0])
     theta = jnp.arcsin(jnp.clip(direction[2], -1.0, 1.0))
     uv = jnp.stack([0.5 + phi / TAU, 0.5 + theta / PI], axis=0)
-
-    tex_index = packed.skybox_texture_index
-    has_texture = tex_index != TEXTURE_INDEX_NONE
-    idx = jnp.broadcast_to(jnp.where(has_texture, tex_index, 0), (n,))
-    spectrum = sample_texture(packed, idx, uv)  # (4, N)
-    default = jnp.broadcast_to(
-        jnp.asarray([0.0, 0.0, 100.0, 1.0])[:, None], (4, n))
-    spectrum = jnp.where(has_texture, spectrum, default)
-    return sample_parametric_spectrum_scaled(spectrum, lam) * packed.skybox_brightness
+    idx = jnp.broadcast_to(packed.skybox_texture_index, (n,))
+    spectrum = sample_texture(packed, idx, uv, atlas_size)  # (4, N)
+    return (sample_parametric_spectrum_scaled(spectrum, lam)
+            * packed.skybox_brightness)
 
 
 def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng):
@@ -124,13 +126,17 @@ def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng):
 
 
 def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
-            termination_probability):
+            termination_probability, layout=None):
     """One scatter round for all lanes (basic_scatter.glsl:114-310).
 
     ray_origin/ray_direction: (3, N). Returns (new_state, new_origin,
     new_direction, alive (N,)). Dead lanes carry their final `sample`
-    in new_state; the caller accumulates and respawns them.
+    in new_state; the caller accumulates and respawns them. `layout`
+    provides static texture-usage flags.
     """
+    has_sky_tex = layout.has_skybox_texture if layout is not None else True
+    textured = layout.materials_textured if layout is not None else True
+    atlas_size = layout.atlas_size if layout is not None else 8
     lam = hero_wavelength_cluster(state['lambda0'])  # (4, N)
 
     active_shapes = state['active_shapes']           # (LIMIT, N)
@@ -169,7 +175,8 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     vol_probability = probability * density
 
     # --- skybox emission (basic_scatter.glsl:165-172) ----------------------
-    emission = sample_skybox_radiance(packed, ray_direction, lam)  # (4, N)
+    emission = sample_skybox_radiance(packed, ray_direction, lam,
+                                      has_sky_tex, atlas_size)  # (4, N)
     cluster_pdf = jnp.maximum(sum4(probability), 1e-20)
     observer = sample_standard_observer(lam)  # (3, 4, N)
     weighted = emission * throughput          # (4, N)
@@ -198,7 +205,8 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
                              jnp.where(is_real, exterior_medium['ior'], 1.0))
     exterior_ior = jnp.where(is_real, exterior_ior, 1.0)
 
-    ctx = fetch_ctx(packed, hit['material'], lam, hit['uv'], exterior_ior)
+    ctx = fetch_ctx(packed, hit['material'], lam, hit['uv'], exterior_ior,
+                    textured, atlas_size)
     scattered, s_throughput, s_probability, s_valid = _sample_surface_integrand(
         packed, ctx, hit, view, rng)
 

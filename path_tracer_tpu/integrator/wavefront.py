@@ -82,7 +82,7 @@ def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
         hit = trace(packed, layout, rs['origin'], rs['direction'])
         path, origin, direction, alive = scatter(
             packed, rs['path'], rs['origin'], rs['direction'], hit, rng,
-            termination_probability)
+            termination_probability, layout)
 
         dead = ~alive
         accum = rs['accum']

@@ -17,13 +17,15 @@ from ..core.spectrum import sample_parametric_spectrum
 from ..core.vec import take_1d
 
 
-def sample_texture(packed, texture_index, uv):
+def sample_texture(packed, texture_index, uv, atlas_size):
     """Sample the texture atlas (scene.glsl.inc:181-205).
 
     texture_index: (N,) int32 (TEXTURE_INDEX_NONE allowed -- result is
-    garbage for those lanes; callers mask). uv: (2, N). Returns (4, N).
-    Applies per-texture placement with wrap, then nearest or bilinear
-    filtering by texture flag.
+    garbage for those lanes; callers mask). uv: (2, N); atlas_size is
+    the static layer edge length. Returns (4, N). Applies per-texture
+    placement with wrap, then nearest or bilinear filtering by flag.
+    Each tap is ONE row-gather of the (texels, 4) atlas (per-index cost
+    dominates TPU gathers; rows amortize the 4 channels).
     """
     safe_idx = jnp.where(texture_index == TEXTURE_INDEX_NONE, 0, texture_index)
     pmin = _col(packed.texture_placement_min, safe_idx)  # (2, N)
@@ -35,9 +37,8 @@ def sample_texture(packed, texture_index, uv):
     u = pmin[0] + (pmax[0] - pmin[0]) * frac_uv[0]
     v = pmin[1] + (pmax[1] - pmin[1]) * frac_uv[1]
 
-    atlas = packed.atlas  # (4, L, S, S)
-    size = atlas.shape[2]
-    flat = atlas.reshape(4, -1)
+    size = atlas_size
+    rows = packed.atlas  # (texels, 4)
 
     # Texel-space coordinates with half-texel convention.
     x = u * size - 0.5
@@ -47,7 +48,7 @@ def sample_texture(packed, texture_index, uv):
         px = jnp.clip(px, 0, size - 1)
         py = jnp.clip(py, 0, size - 1)
         idx = (layer * size + py) * size + px
-        return jnp.stack([jnp.take(flat[c], idx) for c in range(4)], axis=0)
+        return jnp.take(rows, idx, axis=0).T  # (4, N)
 
     # Bilinear.
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -69,20 +70,26 @@ def sample_texture(packed, texture_index, uv):
     return jnp.where(use_nearest, nearest, linear)
 
 
-def texturable_reflectance(packed, beta, texture_index, lam, uv):
+def texturable_reflectance(packed, beta, texture_index, lam, uv, textured,
+                           atlas_size):
     """Spectral reflectance of a texturable color attribute
-    (scene.glsl.inc:276-290). beta: (3, N), lam: (4, N) -> (4, N)."""
+    (scene.glsl.inc:276-290). beta: (3, N), lam: (4, N) -> (4, N).
+    `textured` is a static flag: untextured scenes skip the taps."""
     value = sample_parametric_spectrum(beta, lam)
+    if not textured:
+        return value
     has_texture = texture_index != TEXTURE_INDEX_NONE
-    tex_beta = sample_texture(packed, texture_index, uv)[:3]
+    tex_beta = sample_texture(packed, texture_index, uv, atlas_size)[:3]
     tex_value = sample_parametric_spectrum(tex_beta, lam)
     return jnp.where(has_texture, value * tex_value, value)
 
 
-def texturable_value(packed, value, texture_index, uv):
+def texturable_value(packed, value, texture_index, uv, textured, atlas_size):
     """Scalar texturable attribute (scene.glsl.inc:292-302)."""
+    if not textured:
+        return value
     has_texture = texture_index != TEXTURE_INDEX_NONE
-    tex = sample_texture(packed, texture_index, uv)[0]
+    tex = sample_texture(packed, texture_index, uv, atlas_size)[0]
     return jnp.where(has_texture, value * tex, value)
 
 
@@ -117,12 +124,14 @@ def fetch_medium_ctx(packed, material_index, lam):
     )
 
 
-def fetch_ctx(packed, material_index, lam, uv, exterior_ior):
+def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
+              textured=True, atlas_size=8):
     """Gather every material attribute for the given lanes.
 
     material_index: (N,) int32 slots into the MaterialTable. Returns a
     dict of per-lane parameter arrays -- the vectorized analogue of
     bsdf_parameters (scene.glsl.inc:659-665) with all table reads done.
+    `textured`/`atlas_size` are static (from SceneLayout).
     """
     m = packed.materials
     i = material_index
@@ -132,15 +141,17 @@ def fetch_ctx(packed, material_index, lam, uv, exterior_ior):
         uv=uv,
         exterior_ior=exterior_ior,
         base_reflectance=texturable_reflectance(
-            packed, _col(m.base_spectrum, i), _col(m.base_texture, i), lam, uv),
+            packed, _col(m.base_spectrum, i), _col(m.base_texture, i), lam, uv,
+            textured, atlas_size),
         specular_reflectance=texturable_reflectance(
             packed, _col(m.specular_spectrum, i), _col(m.specular_texture, i),
-            lam, uv),
+            lam, uv, textured, atlas_size),
         roughness=texturable_value(
-            packed, _col(m.roughness, i), _col(m.roughness_texture, i), uv),
+            packed, _col(m.roughness, i), _col(m.roughness_texture, i), uv,
+            textured, atlas_size),
         roughness_anisotropy=texturable_value(
             packed, _col(m.roughness_anisotropy, i),
-            _col(m.roughness_anisotropy_texture, i), uv),
+            _col(m.roughness_anisotropy_texture, i), uv, textured, atlas_size),
         ior=_col(m.ior, i),
         abbe_number=_col(m.abbe_number, i),
         transmission_spectrum=_col(m.transmission_spectrum, i),

@@ -36,6 +36,7 @@ from ..core.constants import (
     INFINITY,
     PI,
     SHAPE_INDEX_NONE,
+    TEXTURE_INDEX_NONE,
     SHAPE_TYPE_CUBE,
     SHAPE_TYPE_MESH_INSTANCE,
     SHAPE_TYPE_PLANE,
@@ -72,6 +73,12 @@ class SceneLayout:
     analytic_shapes: Tuple[Tuple[int, int], ...]  # (shape_index, shape_type)
     mesh_instances: Tuple[Tuple[int, int], ...]   # (shape_index, root_node)
     num_shapes: int
+    # Static texture-usage flags: texture taps are skipped entirely at
+    # trace time for scenes that cannot need them (per-lane table reads
+    # are the scarce resource on TPU).
+    has_skybox_texture: bool = False
+    materials_textured: bool = False
+    atlas_size: int = 8
 
     @staticmethod
     def from_packed(packed):
@@ -83,7 +90,17 @@ class SceneLayout:
                 meshes.append((i, int(mesh_root[i])))
             else:
                 analytic.append((i, int(t)))
-        return SceneLayout(tuple(analytic), tuple(meshes), len(shape_type))
+        m = packed.materials
+        texture_cols = (m.base_texture, m.specular_texture, m.roughness_texture,
+                        m.roughness_anisotropy_texture, m.emission_texture)
+        textured = any(bool((np.asarray(c) != TEXTURE_INDEX_NONE).any())
+                       for c in texture_cols)
+        return SceneLayout(
+            tuple(analytic), tuple(meshes), len(shape_type),
+            has_skybox_texture=int(packed.skybox_texture_index) != TEXTURE_INDEX_NONE,
+            materials_textured=textured,
+            atlas_size=int(packed.atlas_size),
+        )
 
 
 def make_hit(n, duration):
@@ -386,17 +403,24 @@ def resolve_hit_attributes(packed, layout: SceneLayout, origin, direction, hit):
     ones = jnp.ones(n)
 
     # --- mesh: barycentric-interpolated vertex attributes -----------------
-    prim = hit['primitive']
-    fv = take_vec(packed.face_vertices, prim)          # (3, N)
-    n0 = take_vec(packed.vertex_normals, fv[0])        # (3, N)
-    n1 = take_vec(packed.vertex_normals, fv[1])
-    n2 = take_vec(packed.vertex_normals, fv[2])
-    mesh_normal_obj = safe_normalize(
-        n0 * coords[0] + n1 * coords[1] + n2 * coords[2])
-    uv0 = take_vec(packed.vertex_uvs, fv[0])           # (2, N)
-    uv1 = take_vec(packed.vertex_uvs, fv[1])
-    uv2 = take_vec(packed.vertex_uvs, fv[2])
-    mesh_uv = uv0 * coords[0] + uv1 * coords[1] + uv2 * coords[2]
+    if 'mesh_normal' in hit:
+        # Packet-kernel path: attributes were interpolated in-kernel and
+        # transformed per instance; no per-lane vertex gathers at all.
+        mesh_normal_obj = None
+        mesh_normal_world = hit['mesh_normal']
+        mesh_uv = hit['mesh_uv']
+    else:
+        prim = hit['primitive']
+        fv = take_vec(packed.face_vertices, prim)          # (3, N)
+        n0 = take_vec(packed.vertex_normals, fv[0])        # (3, N)
+        n1 = take_vec(packed.vertex_normals, fv[1])
+        n2 = take_vec(packed.vertex_normals, fv[2])
+        mesh_normal_obj = safe_normalize(
+            n0 * coords[0] + n1 * coords[1] + n2 * coords[2])
+        uv0 = take_vec(packed.vertex_uvs, fv[0])           # (2, N)
+        uv1 = take_vec(packed.vertex_uvs, fv[1])
+        uv2 = take_vec(packed.vertex_uvs, fv[2])
+        mesh_uv = uv0 * coords[0] + uv1 * coords[1] + uv2 * coords[2]
 
     # --- analytic normals in object space ----------------------------------
     plane_normal_obj = vec3(zeros, zeros, ones)
@@ -415,13 +439,18 @@ def resolve_hit_attributes(packed, layout: SceneLayout, origin, direction, hit):
     is_plane = stype == SHAPE_TYPE_PLANE
     is_sphere = stype == SHAPE_TYPE_SPHERE
 
-    normal_obj = jnp.where(
-        is_mesh, mesh_normal_obj,
-        jnp.where(is_plane, plane_normal_obj,
-                  jnp.where(is_sphere, sphere_normal_obj, cube_normal_obj)))
+    analytic_normal_obj = jnp.where(
+        is_plane, plane_normal_obj,
+        jnp.where(is_sphere, sphere_normal_obj, cube_normal_obj))
 
     # Normal transform: normalize(N^T * from_world) (common.glsl.inc:50-53).
-    normal = transform_normal(normal_obj, from_world)
+    if mesh_normal_obj is None:
+        normal = jnp.where(
+            is_mesh, mesh_normal_world,
+            transform_normal(analytic_normal_obj, from_world))
+    else:
+        normal_obj = jnp.where(is_mesh, mesh_normal_obj, analytic_normal_obj)
+        normal = transform_normal(normal_obj, from_world)
 
     # Tangents (scene.glsl.inc:555, :563, :573, :584-604).
     mesh_tangent = compute_tangent_vector(normal)
@@ -474,18 +503,57 @@ def resolve_hit_attributes(packed, layout: SceneLayout, origin, direction, hit):
     )
 
 
-def trace(packed, layout: SceneLayout, origin, direction, duration=HIT_TIME_LIMIT):
+def trace(packed, layout: SceneLayout, origin, direction,
+          duration=HIT_TIME_LIMIT, use_packet=None):
     """Full trace: intersect every shape, resolve hit attributes.
 
     origin/direction: (3, N). Returns the resolved hit SoA dict. Lanes
     that hit nothing have shape == SHAPE_INDEX_NONE and time == duration.
+
+    Mesh instances use the Pallas packet-trace kernel on TPU whenever
+    the packed tables fit VMEM (ops/trace_pallas.py); the portable
+    XLA per-lane traversal is the fallback (and the CPU/test path).
     """
+    from . import trace_pallas
+
     n = origin.shape[1]
+    if use_packet is None:
+        use_packet = (jax.default_backend() == 'tpu'
+                      and trace_pallas.tables_fit_vmem(
+                          packed.trace_nodes, packed.trace_meta,
+                          packed.trace_tris))
+
     hit = make_hit(n, duration)
     hit = intersect_analytic(packed, layout, origin, direction, hit)
-    for shape_index, root in layout.mesh_instances:
-        fw = packed.shape_object_from_world[:, :, shape_index]
-        o = transform_point(fw, origin)
-        d = transform_vector(fw, direction)
-        hit = traverse_mesh_bvh(packed, root, o, d, hit, shape_index)
+
+    if layout.mesh_instances and use_packet:
+        hit['mesh_normal'] = jnp.zeros((3, n), jnp.float32)
+        hit['mesh_uv'] = jnp.zeros((2, n), jnp.float32)
+        for shape_index, root in layout.mesh_instances:
+            fw = packed.shape_object_from_world[:, :, shape_index]
+            o = transform_point(fw, origin)
+            d = transform_vector(fw, direction)
+            t, face, normal_obj, uv = trace_pallas.packet_trace(
+                packed.trace_nodes, packed.trace_meta, packed.trace_tris,
+                o, d, hit['time'], root=root)
+            improved = face >= 0
+            normal_obj = safe_normalize(normal_obj)
+            world_normal = transform_normal(normal_obj, fw)
+            hit = dict(
+                time=jnp.where(improved, t, hit['time']),
+                shape=jnp.where(improved, shape_index, hit['shape']),
+                shape_type=jnp.where(improved, SHAPE_TYPE_MESH_INSTANCE,
+                                     hit['shape_type']),
+                primitive=jnp.where(improved, face, hit['primitive']),
+                coords=hit['coords'],
+                mesh_normal=jnp.where(improved, world_normal,
+                                      hit['mesh_normal']),
+                mesh_uv=jnp.where(improved, uv, hit['mesh_uv']),
+            )
+    else:
+        for shape_index, root in layout.mesh_instances:
+            fw = packed.shape_object_from_world[:, :, shape_index]
+            o = transform_point(fw, origin)
+            d = transform_vector(fw, direction)
+            hit = traverse_mesh_bvh(packed, root, o, d, hit, shape_index)
     return resolve_hit_attributes(packed, layout, origin, direction, hit)

@@ -153,6 +153,13 @@ class PackedScene:
     mesh_node_a: Any            # (B,) int32: child index | face begin
     mesh_node_b: Any            # (B,) int32: 0 | face end
 
+    # Flat (rows, 128) tables for the Pallas packet-trace kernel
+    # (ops/trace_pallas.py): scalar-addressed node boxes/meta and
+    # triangle rows with inlined vertex attributes.
+    trace_nodes: Any            # (R1, 128) float32
+    trace_meta: Any             # (R2, 128) int32
+    trace_tris: Any             # (R3, 128) float32
+
     materials: MaterialTable
 
     # Cameras.
@@ -163,8 +170,10 @@ class PackedScene:
     camera_sensor_size: Any     # (C, 2)
     camera_world_from_camera: Any  # (C, 4, 4)
 
-    # Texture atlas (channels-first).
-    atlas: Any                  # (4, L, A, A)
+    # Texture atlas: flat rows so one bilinear tap is one row-gather.
+    atlas: Any                  # (L*A*A, 4) float32
+    atlas_layers: Any           # () int32 (layer count; A from field below)
+    atlas_size: Any             # () int32
     texture_placement_min: Any  # (2, T)
     texture_placement_max: Any  # (2, T)
     texture_layer: Any          # (T,) int32
@@ -510,7 +519,9 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
                 texture_flags=jnp.zeros(1, jnp.int32),
             )
         out['atlas'] = jnp.asarray(
-            np.ascontiguousarray(atlas.transpose(3, 0, 1, 2)))
+            np.ascontiguousarray(atlas.reshape(-1, 4)))
+        out['atlas_layers'] = jnp.asarray(atlas.shape[0], jnp.int32)
+        out['atlas_size'] = jnp.asarray(atlas.shape[1], jnp.int32)
         dirty |= SCENE_DIRTY_MATERIALS | SCENE_DIRTY_SKYBOX_TEXTURE
 
     if dirty & SCENE_DIRTY_MATERIALS:
@@ -520,6 +531,13 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
     if dirty & SCENE_DIRTY_MESHES:
         mesh_arrays = _pack_meshes(scene)
         out.update({k: jnp.asarray(v) for k, v in mesh_arrays.items()})
+        from ..ops import trace_pallas
+        tables = trace_pallas.pack_tables(
+            mesh_arrays['mesh_node_min'], mesh_arrays['mesh_node_max'],
+            mesh_arrays['mesh_node_a'], mesh_arrays['mesh_node_b'],
+            mesh_arrays['face_positions'], mesh_arrays['face_vertices'],
+            mesh_arrays['vertex_normals'], mesh_arrays['vertex_uvs'])
+        out.update({k: jnp.asarray(v) for k, v in tables.items()})
         out['_mesh_np'] = mesh_arrays
         dirty |= SCENE_DIRTY_SHAPES
 
