@@ -16,6 +16,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# Persistent XLA compilation cache: kernel recompiles through the remote
+# compile relay cost minutes otherwise.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
 
 NORTH_STAR_MRAYS = 200.0
 WIDTH, HEIGHT = 1920, 1080
@@ -28,7 +31,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from path_tracer_tpu import RenderConfig, SceneLayout, compile_scene
-    from path_tracer_tpu.integrator.wavefront import _render_jit, reset
+    from path_tracer_tpu.integrator.wavefront import render, reset
     from path_tracer_tpu.scene.procedural import make_viking_hall_scene
 
     t0 = time.time()
@@ -41,19 +44,23 @@ def main():
           file=sys.stderr)
 
     config = RenderConfig(width=WIDTH, height=HEIGHT)
-    term = jnp.float32(0.05)
 
-    state = reset(packed, config, seed=0)
     t0 = time.time()
-    state = _render_jit(packed, layout, config, state, term, WARMUP_ROUNDS)
-    jax.block_until_ready(state['accum']['xyz'])
-    print(f'# compile+warmup ({WARMUP_ROUNDS} rounds): {time.time()-t0:.1f}s',
-          file=sys.stderr)
+    state = render(packed, config, WARMUP_ROUNDS, seed=0, layout=layout)
+    # A device->host readback is REQUIRED here, not just block_until_ready:
+    # this runtime defers Pallas-program execution until the first
+    # readback (block_until_ready returns immediately for deferred work),
+    # so timing without a readback would measure nothing.
+    warm = float(jnp.sum(state['accum']['count']))
+    print(f'# compile+warmup ({WARMUP_ROUNDS} rounds): {time.time()-t0:.1f}s, '
+          f'{warm:.0f} samples', file=sys.stderr)
 
     t0 = time.time()
     for _ in range(TIMED_ROUNDS // CHUNK):
-        state = _render_jit(packed, layout, config, state, term, CHUNK)
+        state = render(packed, config, CHUNK, layout=layout, state=state)
         jax.block_until_ready(state['accum']['xyz'])
+    # Force execution of any deferred tail before stopping the clock.
+    float(jnp.sum(state['accum']['count']))
     elapsed = time.time() - t0
 
     lanes = WIDTH * HEIGHT

@@ -39,11 +39,9 @@ def render_scene(scene, width=512, height=256, spp_rounds=32, seed=0,
 
     Returns an (H, W, 3) float32 tone-mapped sRGB image (jax array).
     """
-    import numpy as np
-
     packed = compile_scene(scene, aspect_ratio=width / height)
     layout = SceneLayout.from_packed(packed)
-    camera_model = int(np.asarray(packed.camera_model)[camera_index])
+    camera_model = getattr(packed, 'host_camera_models', (0,))[camera_index]
     config = RenderConfig(width=width, height=height,
                           camera_index=camera_index,
                           camera_model=camera_model)
@@ -51,4 +49,4 @@ def render_scene(scene, width=512, height=256, spp_rounds=32, seed=0,
                    termination_probability=termination_probability,
                    layout=layout)
     return resolve(state['accum'], width, height, brightness=brightness,
-                   mode=tonemap_mode)
+                   mode=tonemap_mode, lane=state['lane'])

@@ -17,13 +17,16 @@ from ..core.tonemap import tonemap
 
 
 @partial(jax.jit, static_argnames=('width', 'height', 'mode'))
-def resolve(accum, width, height, brightness=1.0, mode=0, white_level=1.0):
+def resolve(accum, width, height, brightness=1.0, mode=0, white_level=1.0,
+            lane=None):
     """Resolve the (3, N)+(N,) accumulator into an (H, W, 3) image.
 
-    Lanes are tile-swizzled (integrator/state.py lane_to_pixel); the
-    inverse permutation is applied here, once per resolve.
+    `lane` is each slot's pixel-lane id (slots migrate when ray sorting
+    is on); when omitted, slots are assumed in lane order. Lanes map to
+    pixels through the tile swizzle (integrator/state.py), inverted
+    here once per resolve.
     """
-    from .state import pixel_to_lane_permutation, use_tile_swizzle
+    from .state import lane_to_pixel
 
     xyz = accum['xyz']
     count = accum['count']
@@ -34,7 +37,11 @@ def resolve(accum, width, height, brightness=1.0, mode=0, white_level=1.0):
     # The reference writes to a UNORM swapchain image, which clamps to
     # [0, 1] in hardware; ACES/Hable can emit slight out-of-range values.
     color = jnp.clip(color, 0.0, 1.0)
-    if use_tile_swizzle(width, height):
-        perm = jnp.asarray(pixel_to_lane_permutation(width, height))
-        color = color[:, perm]
-    return jnp.moveaxis(color.reshape(3, height, width), 0, -1)
+    n = color.shape[1]
+    if lane is None:
+        lane = jnp.arange(n, dtype=jnp.int32)
+    px, py = lane_to_pixel(lane, width, height)
+    flat = py * width + px
+    img = jnp.zeros((3, width * height), jnp.float32)
+    img = img.at[:, flat].set(color)
+    return jnp.moveaxis(img.reshape(3, height, width), 0, -1)

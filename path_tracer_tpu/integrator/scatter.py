@@ -207,6 +207,16 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
 
     ctx = fetch_ctx(packed, hit['material'], lam, hit['uv'], exterior_ior,
                     textured, atlas_size)
+
+    # Surface emission (OpenPBR area lights): accumulate on real exterior
+    # hits before the BSDF extends the path. The reference packs emission
+    # but leaves its accumulation disabled (openpbr.glsl.inc:294-298).
+    emission_spec = dispatch.surface_emission(ctx)
+    emissive_hit = surface_event & is_real & hit_exterior
+    emit_contrib = jnp.einsum('ckn,kn->cn', observer,
+                              emission_spec * throughput) / cluster_pdf
+    sample = jnp.where(emissive_hit, sample + emit_contrib, sample)
+
     scattered, s_throughput, s_probability, s_valid = _sample_surface_integrand(
         packed, ctx, hit, view, rng)
 

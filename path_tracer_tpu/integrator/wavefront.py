@@ -29,6 +29,49 @@ from .scatter import scatter
 from .state import merge_paths, new_paths
 
 
+def _ray_sort_key(packed, origin, direction):
+    """Spatial-directional coherence key: 15-bit Morton cell of the ray
+    origin within the scene bounds + 3-bit direction octant."""
+    lo = packed.tlas_min[:, 0]
+    hi = packed.tlas_max[:, 0]
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((origin - lo[:, None]) / span[:, None], 0.0, 1.0)
+    cells = (q * 31.0).astype(jnp.int32)  # (3, N), 5 bits each
+
+    morton = jnp.zeros_like(cells[0])
+    for b in range(5):
+        morton = (morton
+                  | (((cells[0] >> b) & 1) << (3 * b + 2))
+                  | (((cells[1] >> b) & 1) << (3 * b + 1))
+                  | (((cells[2] >> b) & 1) << (3 * b)))
+    octant = (((direction[0] < 0).astype(jnp.int32) << 2)
+              | ((direction[1] < 0).astype(jnp.int32) << 1)
+              | (direction[2] < 0).astype(jnp.int32))
+    return (morton << 3) | octant
+
+
+def _sort_state(rs, key):
+    """Co-sort every per-lane array in the render state by `key`.
+
+    All arrays are decomposed into (N,) rows and permuted by
+    argsort(key) applied as 1D fancy indexing: XLA's sort rewriter
+    fuses the whole thing into one sort network (~1 ms for 2M lanes x
+    ~30 operands). Two layouts that do NOT work: fancy-indexing the 2D
+    arrays directly lowers to real gathers (400+ ms), and a direct
+    multi-operand lax.sort makes TPU compilation explode (>10 min).
+    """
+    perm = jnp.argsort(key)
+    leaves, treedef = jax.tree_util.tree_flatten(rs)
+    rebuilt = []
+    for leaf in leaves:
+        if leaf.ndim == 1:
+            rebuilt.append(leaf[perm])
+        else:
+            rebuilt.append(jnp.stack([leaf[i][perm]
+                                      for i in range(leaf.shape[0])], axis=0))
+    return jax.tree_util.tree_unflatten(treedef, rebuilt)
+
+
 @dataclass(frozen=True)
 class RenderConfig:
     """Static render configuration (hashable; changes retrace the jit).
@@ -43,6 +86,11 @@ class RenderConfig:
     camera_model: int = 0
     flags: int = RENDER_FLAG_ACCUMULATE | RENDER_FLAG_SAMPLE_JITTER
     rounds_per_call: int = 1
+    # Re-sort the whole path state by (origin Morton cell, direction
+    # octant) every round. XLA fuses the argsort+apply into one sort
+    # network (~1ms for 2M lanes x 28 operands), and coherent packets
+    # are what make the Pallas trace kernel fast on bounce rays.
+    sort_rays: bool = True
 
 
 def reset(packed, config: RenderConfig, seed, lane=None):
@@ -114,6 +162,13 @@ def _render_jit(packed, layout, config, render_state, termination_probability,
                          termination_probability, rounds)
 
 
+@jax.jit
+def _sort_jit(packed, render_state):
+    key = _ray_sort_key(packed, render_state['origin'],
+                        render_state['direction'])
+    return _sort_state(render_state, key)
+
+
 def render(packed, config: RenderConfig, spp_rounds, seed=0,
            termination_probability=0.05, layout=None, state=None):
     """Convenience driver: reset (unless resuming) + N rounds.
@@ -121,10 +176,20 @@ def render(packed, config: RenderConfig, spp_rounds, seed=0,
     spp_rounds is the number of wavefront rounds; expected samples per
     pixel is roughly rounds / E[path length]. Returns the render state
     (pass back via `state=` to continue progressive accumulation).
+
+    With config.sort_rays the per-round coherence sort runs as its own
+    jitted program between rounds (fusing the 30-operand sort network
+    into the round's fori_loop makes XLA compilation explode).
     """
     layout = layout or SceneLayout.from_packed(packed)
     if state is None:
         state = reset(packed, config, seed)
-    state = _render_jit(packed, layout, config, state,
-                        jnp.float32(termination_probability), int(spp_rounds))
+    term = jnp.float32(termination_probability)
+    if config.sort_rays:
+        for _ in range(int(spp_rounds)):
+            state = _sort_jit(packed, state)
+            state = _render_jit(packed, layout, config, state, term, 1)
+    else:
+        state = _render_jit(packed, layout, config, state, term,
+                            int(spp_rounds))
     return state

@@ -79,6 +79,15 @@ def evaluate_bsdf(ctx, view, scattered):
     return _select(ctx['type'], results)
 
 
+def surface_emission(ctx):
+    """Emission radiance (4, N) of the hit surface. Only OpenPBR carries
+    emission (openpbr.hpp:127-133); the reference packs it but never
+    accumulates it (openpbr.glsl.inc:294-298 is commented out) -- we
+    wire it through the integrator, enabling emissive area surfaces."""
+    em = openpbr.emission(ctx)
+    return jnp.where(ctx['type'] == MATERIAL_TYPE_OPENPBR, em, 0.0)
+
+
 def load_medium(ctx):
     """MaterialLoadMedium (scene.glsl.inc:704-708): only translucent and
     OpenPBR materials define an interior medium."""

@@ -1,19 +1,25 @@
-"""OpenPBR layered surface model.
+"""OpenPBR layered surface model: stochastic slab walk.
 
-Target behavior: /root/reference/src/scene/openpbr.glsl.inc -- a
-stochastic layered slab (coat / metal / translucent-base / glossy-
-diffuse) with specular-weight IOR remapping, coat absorption, and
-emission. The reference packs this material host-side but ships with its
-device dispatch disabled (scene.glsl.inc:685), so OpenPBR surfaces shade
-as the fallback there; we wire it into dispatch.
+Vectorized equivalent of /root/reference/src/scene/openpbr.glsl.inc --
+the full layered model: per-evaluation stochastic layer composition
+(coat present? metal base? translucent base?), a dielectric coat with
+path-length absorption, a metal (F82) or dielectric (specular-weight
+IOR-remapped) base specular slab, an Oren-Nayar glossy-diffuse base,
+and a layer state machine random walk up to the material's bounce
+limit (openpbr.glsl.inc:463-515).
 
-Current implementation: a physically-plausible single-bounce reduction
-of the slab (metalness lerp between an F82 metal lobe and a dielectric
-specular-over-diffuse base, plus interior medium from transmission
-parameters). The full stochastic layer walk (openpbr.glsl.inc:463-515)
-is the next milestone for this model.
+The reference ships with this model's device dispatch disabled
+(scene.glsl.inc:685 comments out the include), so OpenPBR surfaces
+terminate paths there; we wire it in, and additionally wire base
+emission into the integrator (the reference packs emission but leaves
+its accumulation commented out, openpbr.glsl.inc:294-298).
 
-Channels-first: directions (3, N), spectra (4, N).
+Like the reference, this BSDF is sample-only (no closed-form evaluate),
+so it reports Dirac to the MIS machinery: skybox light sampling is
+disabled on OpenPBR surfaces and only BSDF sampling is used.
+
+Channels-first: directions (3, N), spectra (4, N). `view` = direction
+toward viewer; `scattered` = sampled light direction.
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ import jax.numpy as jnp
 from ..core.constants import EPSILON, PI
 from ..core.optics import (
     cauchy_empirical_ior,
+    cos_theta_refracted,
     fresnel_dielectric,
     schlick_fresnel_metal,
 )
@@ -31,25 +38,34 @@ from ..core.sampling import (
     ggx_roughness_alpha,
     ggx_smith_g1,
     ggx_visible_normal,
+    safe_normalize,
 )
-from ..core.vec import dot, safe_normalize, vec3
+from ..core.vec import dot, max4, vec3
 from ..core.spectrum import sample_parametric_spectrum
 
+# Static unroll bound for the layer walk; per-lane material limits mask
+# further bounces (the reference default is 16, openpbr.hpp:37).
+MAX_LAYER_BOUNCES = 8
 
-def _params(ctx):
-    alpha = ggx_roughness_alpha(ctx['roughness'], ctx['roughness_anisotropy'])
-    rough = alpha[0] * alpha[1] > EPSILON
-    base = ctx['base_reflectance'] * ctx['base_weight']
-    return alpha, rough, base
+LAYER_EXTERNAL = -1
+LAYER_COAT = 0
+LAYER_BASE_SPECULAR = 1
+LAYER_BASE_DIFFUSE = 2
 
 
 def has_dirac_bsdf(ctx):
-    return (ctx['base_metalness'] > 0.999) & (ctx['roughness'] < 1e-3)
+    n = ctx['type'].shape[0]
+    return jnp.ones((n,), jnp.bool_)
+
+
+def emission(ctx):
+    """Base emission radiance (4, N) (packed per openpbr.hpp:127-133)."""
+    return (sample_parametric_spectrum(ctx['emission_spectrum'], ctx['lam'])
+            * ctx['emission_luminance'])
 
 
 def load_medium(ctx):
-    """Interior medium from transmission color/depth/scatter
-    (openpbr.hpp:106-121 parameter semantics)."""
+    """Interior medium (openpbr.glsl.inc:160-191)."""
     lam = ctx['lam']
     ior = cauchy_empirical_ior(
         ctx['specular_ior'], ctx['transmission_dispersion_abbe'], lam)
@@ -71,69 +87,254 @@ def load_medium(ctx):
     )
 
 
-def evaluate_bsdf(ctx, view, scattered):
-    n = view.shape[1]
-    alpha, rough, base = _params(ctx)
-    valid = (view[2] > 0.0) & (scattered[2] > 0.0)
+def _compose_parameters(ctx, rng_u):
+    """openpbr_parameters (openpbr.glsl.inc:66-158): stochastic layer
+    composition + spectral parameter evaluation. rng_u: 3 uniforms."""
+    u_coat, u_metal, u_trans = rng_u
+    coat_present = u_coat < ctx['coat_weight']
+    base_is_metal = u_metal < ctx['base_metalness']
+    base_is_translucent = (~base_is_metal) & (u_trans < ctx['transmission_weight'])
 
-    half = safe_normalize(view + scattered)
-    cos_vh = dot(view, half)
-    gm = ggx_smith_g1(view, alpha)
-    gs = ggx_smith_g1(scattered, alpha)
-    d = ggx_distribution(half, alpha)
-    spec_pdf = gm * d / (4.0 * jnp.maximum(view[2], 1e-8))
-    spec_pdf = jnp.where(rough, spec_pdf, 0.0)
+    base_reflectance = ctx['base_weight'] * ctx['base_reflectance']
 
-    # Metal lobe (F82 tint).
-    f_metal = schlick_fresnel_metal(
-        base, ctx['specular_reflectance'] * ctx['specular_weight'], cos_vh)
-    metal_throughput = spec_pdf * gs * f_metal
+    coat_relative_ior = ctx['exterior_ior'] / ctx['coat_ior']
+    coat_transmittance = sample_parametric_spectrum(ctx['coat_spectrum'], ctx['lam'])
+    coat_alpha = ggx_roughness_alpha(ctx['coat_roughness'],
+                                     ctx['coat_roughness_anisotropy'])
 
-    # Dielectric: specular reflection + energy-compensated diffuse.
-    f_dielectric = fresnel_dielectric(1.0 / ctx['specular_ior'], cos_vh)
-    f_dielectric = jnp.clip(f_dielectric * ctx['specular_weight'], 0.0, 1.0)
-    diffuse_pdf = jnp.maximum(scattered[2], 0.0) / PI
-    spec_throughput = spec_pdf * gs * f_dielectric
-    diffuse_throughput = diffuse_pdf * base * (1.0 - f_dielectric)
-    dielectric_pdf = 0.5 * spec_pdf + 0.5 * diffuse_pdf
-    dielectric_throughput = spec_throughput + diffuse_throughput
+    specular_ior = cauchy_empirical_ior(
+        ctx['specular_ior'], ctx['transmission_dispersion_abbe'], ctx['lam'])
+    specular_relative_ior = jnp.where(
+        coat_present, ctx['coat_ior'] / specular_ior,
+        ctx['exterior_ior'] / specular_ior)
+    spec_alpha = ggx_roughness_alpha(ctx['roughness'],
+                                     ctx['roughness_anisotropy'])
 
-    metalness = ctx['base_metalness']
-    throughput = metalness * metal_throughput + (1.0 - metalness) * dielectric_throughput
-    pdf = metalness * spec_pdf + (1.0 - metalness) * dielectric_pdf
-    probability = jnp.broadcast_to(pdf, (4, n))
-    return throughput, probability, valid
+    return dict(
+        coat_present=coat_present,
+        base_is_metal=base_is_metal,
+        base_is_translucent=base_is_translucent,
+        base_reflectance=base_reflectance,
+        base_diffuse_roughness=ctx['base_diffuse_roughness'],
+        coat_relative_ior=coat_relative_ior,
+        coat_transmittance=coat_transmittance,
+        coat_alpha=coat_alpha,
+        specular_weight=ctx['specular_weight'],
+        specular_relative_ior=specular_relative_ior,
+        specular_reflectance=ctx['specular_reflectance'],
+        spec_alpha=spec_alpha,
+        layer_bounce_limit=ctx['layer_bounce_limit'],
+    )
+
+
+def _coat_sample(p, out_dir, u1, u2, u_choice):
+    """OpenPBR_CoatSample (openpbr.glsl.inc:194-283). Returns
+    (in_dir, throughput_mul (4,N), density_mul (4,N), dead (N,))."""
+    n = out_dir.shape[1]
+    sign_z = jnp.sign(jnp.where(out_dir[2] == 0.0, 1.0, out_dir[2]))
+    normal = ggx_visible_normal(out_dir * sign_z, p['coat_alpha'], u1, u2)
+    cosine = dot(normal, out_dir)
+
+    rel = jnp.where(out_dir[2] < 0, 1.0 / p['coat_relative_ior'],
+                    p['coat_relative_ior'])
+    eta0 = rel[0]
+    refr_cos = cos_theta_refracted(eta0, cosine)
+    reflectance = fresnel_dielectric(eta0, cosine, refr_cos)
+
+    reflect = u_choice < reflectance
+
+    in_reflect = 2.0 * cosine * normal - out_dir
+    reflect_bad = in_reflect[2] * out_dir[2] <= 0.0
+    in_refract = (eta0 * cosine + refr_cos) * normal - eta0 * out_dir
+    refract_bad = in_refract[2] * out_dir[2] > 0.0
+
+    in_dir = jnp.where(reflect, in_reflect, in_refract)
+    dead = jnp.where(reflect, reflect_bad, refract_bad)
+
+    g1 = ggx_smith_g1(in_dir, p['coat_alpha'])
+    thr = jnp.broadcast_to(g1, (4, n))
+
+    # Coat absorption by in-coat path length (openpbr.glsl.inc:246-281).
+    oz = jnp.where(jnp.abs(out_dir[2]) < 1e-6, 1e-6 * jnp.sign(out_dir[2] + 1e-30), out_dir[2])
+    iz = jnp.where(jnp.abs(in_dir[2]) < 1e-6, 1e-6 * jnp.sign(in_dir[2] + 1e-30), in_dir[2])
+    exp_reflect = -(0.5 / oz + 0.5 / iz)
+    exp_refract = jnp.where(out_dir[2] < 0, -0.5 / oz, -0.5 / iz)
+    exponent = jnp.where(reflect, jnp.where(out_dir[2] < 0, exp_reflect, 0.0),
+                         exp_refract)
+    absorb = jnp.power(jnp.maximum(p['coat_transmittance'], 1e-9), exponent)
+    thr = thr * absorb
+
+    # Coat absent: pass straight through (openpbr.glsl.inc:202-206).
+    passthrough = ~p['coat_present']
+    in_dir = jnp.where(passthrough, -out_dir, in_dir)
+    thr = jnp.where(passthrough, 1.0, thr)
+    dead = jnp.where(passthrough, False, dead)
+    return in_dir, thr, jnp.ones((4, n)), dead
+
+
+def _base_specular_sample(p, out_dir, u1, u2, u_choice):
+    """OpenPBR_BaseSpecularSample (openpbr.glsl.inc:286-435)."""
+    n = out_dir.shape[1]
+    sign_z = jnp.sign(jnp.where(out_dir[2] == 0.0, 1.0, out_dir[2]))
+    normal = ggx_visible_normal(out_dir * sign_z, p['spec_alpha'], u1, u2)
+    cosine = dot(normal, out_dir)
+
+    # --- metal branch ------------------------------------------------------
+    in_metal = 2.0 * cosine * normal - out_dir
+    metal_bad = out_dir[2] * in_metal[2] <= 0.0
+    shadow_metal = ggx_smith_g1(out_dir, p['spec_alpha'])
+    fresnel_metal = p['specular_weight'] * schlick_fresnel_metal(
+        p['base_reflectance'], p['specular_reflectance'], jnp.abs(cosine))
+    thr_metal = fresnel_metal * shadow_metal
+
+    # --- dielectric branch --------------------------------------------------
+    rel = jnp.where(out_dir[2] < 0, 1.0 / p['specular_relative_ior'],
+                    p['specular_relative_ior'])
+    # Specular-weight IOR remap (openpbr.glsl.inc:338-342).
+    w = p['specular_weight']
+    r = jnp.sqrt(jnp.clip(w, 0.0, 1.0)) * (1.0 - rel) / (1.0 + rel)
+    rel = jnp.where(w < 1.0, (1.0 - r) / (1.0 + r), rel)
+
+    eta0 = rel[0]
+    refr_cos = cos_theta_refracted(eta0, cosine)
+    reflectance = fresnel_dielectric(eta0, cosine, refr_cos)
+    reflect = u_choice < reflectance
+
+    in_reflect = 2.0 * cosine * normal - out_dir
+    reflect_bad = in_reflect[2] * out_dir[2] <= 0.0
+    thr_reflect = jnp.where(out_dir[2] > 0, p['specular_reflectance'], 1.0)
+    thr_reflect = thr_reflect * ggx_smith_g1(in_reflect, p['spec_alpha'])
+
+    in_refract = (eta0 * cosine + refr_cos) * normal - eta0 * out_dir
+    refract_bad = in_refract[2] * out_dir[2] > 0.0
+    shadow_refract = ggx_smith_g1(in_refract, p['spec_alpha'])
+    rough = p['spec_alpha'][0] * p['spec_alpha'][1] > EPSILON
+    # Per-wavelength refraction densities. The reference's spectral
+    # Fresnel here is marked broken and zeroed (openpbr.glsl.inc:390-391),
+    # killing secondary wavelengths on rough refraction; we keep the
+    # plausible-density bookkeeping but use the primary-wavelength
+    # Fresnel for all lanes (a working approximation of the intent).
+    halves = in_refract[None, :, :] + out_dir[None, :, :] * rel[:, None, :]
+    lsq = jnp.sum(halves * halves, axis=1, keepdims=True)
+    bad_h = lsq < 1e-12
+    halves = jnp.where(bad_h, jnp.zeros_like(halves).at[:, 2].set(1.0),
+                       halves / jnp.sqrt(jnp.where(bad_h, 1.0, lsq)))
+    cos_i = jnp.sum(out_dir[None] * halves, axis=1)
+    cos_o = jnp.sum(in_refract[None] * halves, axis=1)
+    dens = ggx_distribution(jnp.moveaxis(halves, 1, 0), p['spec_alpha'][:, None, :])
+    dens = jnp.where(cos_i * cos_o < 0.0, dens, 0.0)
+    dens = dens.at[0].set(ggx_distribution(normal, p['spec_alpha']))
+    dens = dens / jnp.maximum(EPSILON, max4(dens))
+    fres_t = 1.0 - reflectance
+    thr_refract_rough = dens * fres_t * shadow_refract
+    den_refract_rough = dens * fres_t
+    zero = jnp.zeros(n)
+    one = jnp.ones(n)
+    thr_refract_smooth = jnp.stack([shadow_refract, zero, zero, zero], 0)
+    den_refract_smooth = jnp.stack([one, zero, zero, zero], 0)
+    thr_refract = jnp.where(rough, thr_refract_rough, thr_refract_smooth)
+    den_refract = jnp.where(rough, den_refract_rough, den_refract_smooth)
+
+    in_diel = jnp.where(reflect, in_reflect, in_refract)
+    diel_bad = jnp.where(reflect, reflect_bad, refract_bad)
+    thr_diel = jnp.where(reflect, thr_reflect, thr_refract)
+    den_diel = jnp.where(reflect, jnp.ones((4, n)), den_refract)
+
+    metal = p['base_is_metal']
+    in_dir = jnp.where(metal, in_metal, in_diel)
+    dead = jnp.where(metal, metal_bad, diel_bad)
+    thr = jnp.where(metal, thr_metal, thr_diel)
+    den = jnp.where(metal, jnp.ones((4, n)), den_diel)
+    return in_dir, thr, den, dead
+
+
+def _base_diffuse_sample(p, out_dir, u1, u2):
+    """OpenPBR_BaseDiffuseSample (openpbr.glsl.inc:438-461): Oren-Nayar
+    glossy-diffuse; translucent bases pass through."""
+    n = out_dir.shape[1]
+    z = 2.0 * u1 - 1.0
+    rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * PI * u2
+    in_dir = safe_normalize(vec3(rr * jnp.cos(phi), rr * jnp.sin(phi), z + 1.0))
+
+    s = dot(in_dir, out_dir) - in_dir[2] * out_dir[2]
+    t = jnp.where(s > 0, jnp.maximum(in_dir[2], out_dir[2]), 1.0)
+    sigma_sq = p['base_diffuse_roughness'] * p['base_diffuse_roughness']
+    a = (1.0 - 0.5 * sigma_sq / (sigma_sq + 0.33)
+         + 0.17 * p['base_reflectance'] * sigma_sq / (sigma_sq + 0.13))
+    b = 0.45 * sigma_sq / (sigma_sq + 0.09)
+    thr = p['base_reflectance'] * (a + b * s / t)
+
+    passthrough = p['base_is_translucent']
+    in_dir = jnp.where(passthrough, -out_dir, in_dir)
+    thr = jnp.where(passthrough, 1.0, thr)
+    return in_dir, thr, jnp.ones((4, n)), jnp.zeros((n,), jnp.bool_)
 
 
 def sample_bsdf(ctx, view, u1, u2, u3, u4, u5):
+    """OpenPBR_Sample (openpbr.glsl.inc:463-515): layer random walk.
+
+    u1/u2/u3 seed the per-evaluation parameter composition; the walk
+    draws a fixed budget of fresh uniforms per bounce via a counter hash
+    of (u4, u5, bounce) so all lanes stay aligned.
+    """
     n = view.shape[1]
-    alpha, rough, base = _params(ctx)
-    valid = view[2] > 0.0
+    p = _compose_parameters(ctx, (u1, u2, u3))
 
-    # Specular direction via VNDF.
-    normal = ggx_visible_normal(view, alpha, u1, u2)
-    cos_theta = jnp.minimum(dot(normal, view), 1.0)
-    spec_dir = 2.0 * cos_theta * normal - view
+    layer = jnp.where(view[2] > 0,
+                      jnp.where(p['coat_present'], LAYER_COAT, LAYER_BASE_SPECULAR),
+                      LAYER_BASE_SPECULAR)
 
-    # Diffuse direction (cosine lobe).
-    z = 2.0 * u4 - 1.0
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    phi = 2.0 * PI * u5
-    diff_dir = safe_normalize(vec3(r * jnp.cos(phi), r * jnp.sin(phi), z + 1.0))
+    throughput = jnp.ones((4, n))
+    density = jnp.ones((4, n))
+    out_dir = view
+    in_dir = -view
+    dead = jnp.zeros((n,), jnp.bool_)
 
-    # Lobe choice: metal/specular with probability driven by metalness and
-    # a 50/50 dielectric split (matches the evaluate-side pdf mix).
-    metal = u3 < ctx['base_metalness']
-    choose_spec = metal | (u3 >= 0.5 * (1.0 + ctx['base_metalness']))
-    scattered = jnp.where(choose_spec, spec_dir, diff_dir)
-    valid &= scattered[2] > 0.0
+    # Deterministic per-bounce uniforms derived from (u4, u5).
+    def bounce_uniforms(i):
+        def h(x, salt):
+            s = (x * 4294967291.0 + salt * 2654435769.0)
+            return s - jnp.floor(s)
+        return h(u4, i * 3 + 1), h(u5, i * 3 + 2), h(u4 + u5, i * 3 + 3)
 
-    throughput, probability, ok = evaluate_bsdf(ctx, view, scattered)
-    # Smooth metal: treat as Dirac (probability is a delta coefficient).
-    dirac = has_dirac_bsdf(ctx)
-    f_metal = schlick_fresnel_metal(
-        base, ctx['specular_reflectance'] * ctx['specular_weight'], cos_theta)
-    gs = ggx_smith_g1(scattered, alpha)
-    throughput = jnp.where(dirac, f_metal * gs, throughput)
-    probability = jnp.where(dirac, jnp.ones((4, n)), probability)
-    return scattered, throughput, probability, valid & ok
+    for i in range(MAX_LAYER_BOUNCES):
+        b1, b2, b3 = bounce_uniforms(i)
+        active = (layer != LAYER_EXTERNAL) & (i < ctx['layer_bounce_limit']) & ~dead
+
+        ci, cthr, cden, cdead = _coat_sample(p, out_dir, b1, b2, b3)
+        si, sthr, sden, sdead = _base_specular_sample(p, out_dir, b1, b2, b3)
+        di, dthr, dden, ddead = _base_diffuse_sample(p, out_dir, b1, b2)
+
+        is_coat = layer == LAYER_COAT
+        is_spec = layer == LAYER_BASE_SPECULAR
+        new_in = jnp.where(is_coat, ci, jnp.where(is_spec, si, di))
+        mul_thr = jnp.where(is_coat, cthr, jnp.where(is_spec, sthr, dthr))
+        mul_den = jnp.where(is_coat, cden, jnp.where(is_spec, sden, dden))
+        step_dead = jnp.where(is_coat, cdead, jnp.where(is_spec, sdead, ddead))
+
+        in_dir = jnp.where(active, new_in, in_dir)
+        throughput = jnp.where(active, throughput * mul_thr, throughput)
+        density = jnp.where(active, density * mul_den, density)
+        dead = dead | (active & step_dead)
+
+        up = new_in[2] >= 0
+        next_layer = jnp.where(
+            is_coat, jnp.where(up, LAYER_EXTERNAL, LAYER_BASE_SPECULAR),
+            jnp.where(is_spec, jnp.where(up, LAYER_COAT, LAYER_BASE_DIFFUSE),
+                      jnp.where(up, LAYER_BASE_SPECULAR, LAYER_EXTERNAL)))
+        layer = jnp.where(active, next_layer, layer)
+        out_dir = jnp.where(active, -new_in, out_dir)
+
+    # A walk still inside the stack at the limit is terminated
+    # (the reference just stops and returns the current direction).
+    valid = ~dead & (max4(density) > EPSILON)
+    return in_dir, throughput, density, valid
+
+
+def evaluate_bsdf(ctx, view, scattered):
+    """No closed-form evaluate for the stochastic slab; OpenPBR reports
+    Dirac so MIS never calls this with a usable result."""
+    n = view.shape[1]
+    zeros = jnp.zeros((4, n))
+    return zeros, zeros, jnp.zeros((n,), jnp.bool_)

@@ -82,6 +82,11 @@ class SceneLayout:
 
     @staticmethod
     def from_packed(packed):
+        # compile_scene attaches a host-built layout; reading the packed
+        # device arrays back would permanently degrade the TPU runtime.
+        host = getattr(packed, 'host_layout', None)
+        if host is not None:
+            return host
         shape_type = np.asarray(packed.shape_type)
         mesh_root = np.asarray(packed.shape_mesh_root)
         analytic, meshes = [], []
@@ -101,6 +106,44 @@ class SceneLayout:
             materials_textured=textured,
             atlas_size=int(packed.atlas_size),
         )
+
+
+def build_layout_host(scene, packed):
+    """Build the SceneLayout from the host-side scene document (no
+    device readbacks). Mirrors from_packed's semantics."""
+    from ..scene.compile import _ENTITY_TO_SHAPE_TYPE
+    from ..scene.model import ENTITY_TYPE_MESH_INSTANCE
+
+    analytic, meshes = [], []
+    index = 0
+    for entity in (e for e, _ in scene.walk_entities_with_transform()):
+        if entity.type not in _ENTITY_TO_SHAPE_TYPE:
+            continue
+        if entity.type == ENTITY_TYPE_MESH_INSTANCE and entity.mesh is None:
+            continue
+        stype = _ENTITY_TO_SHAPE_TYPE[entity.type]
+        if stype == SHAPE_TYPE_MESH_INSTANCE:
+            meshes.append((index, int(entity.mesh.packed_root_node_index)))
+        else:
+            analytic.append((index, int(stype)))
+        index += 1
+
+    textured = False
+    for material in scene.materials:
+        for texture in material.textures():
+            if texture is not None:
+                textured = True
+    return SceneLayout(
+        tuple(analytic), tuple(meshes), max(index, 1),
+        has_skybox_texture=scene.root.skybox_texture is not None,
+        materials_textured=textured,
+        atlas_size=_host_atlas_size(scene),
+    )
+
+
+def _host_atlas_size(scene):
+    from ..scene.atlas import choose_atlas_size
+    return choose_atlas_size([t for t in scene.textures if t.pixels is not None])
 
 
 def make_hit(n, duration):

@@ -66,17 +66,24 @@ def render_sharded(packed, config: RenderConfig, rounds, mesh: Mesh,
         shard_map,
         mesh=mesh,
         in_specs=(P(), P('pixels'), P('batch')),
-        out_specs=(P(None, 'pixels'), P('pixels')),
+        out_specs=(P(None, 'pixels'), P('pixels'), P('pixels')),
         check_vma=False,
     )
     def run(packed_rep, lane_shard, seed_shard):
         state = reset(packed_rep, config, seed_shard[0], lane_shard)
         state = render_rounds(packed_rep, layout, config, state,
                               jnp.float32(termination_probability), rounds)
-        # Merge the independent per-batch accumulators.
-        xyz = jax.lax.psum(state['accum']['xyz'], 'batch')
-        count = jax.lax.psum(state['accum']['count'], 'batch')
-        return xyz, count
+        # Batch rows sort identically (same lanes, same seeds per row?
+        # no -- rows have different streams), so slots can differ per
+        # row; psum merging therefore requires slot-aligned lanes.
+        # Un-permute each shard back to lane order before the psum.
+        order = jnp.argsort(state['lane'])
+        xyz = state['accum']['xyz'][:, order]
+        count = state['accum']['count'][order]
+        lane_sorted = state['lane'][order]
+        xyz = jax.lax.psum(xyz, 'batch')
+        count = jax.lax.psum(count, 'batch')
+        return xyz, count, lane_sorted
 
-    xyz, count = jax.jit(run)(packed, lane, seeds)
-    return dict(xyz=xyz, count=count)
+    xyz, count, lane = jax.jit(run)(packed, lane, seeds)
+    return dict(xyz=xyz, count=count, lane=lane)

@@ -39,6 +39,35 @@ def _half_area(lo, hi):
     return size[..., 0] * size[..., 1] + size[..., 1] * size[..., 2] + size[..., 2] * size[..., 0]
 
 
+def build_bvh_cached(tri_positions, max_leaf_faces=4, cache_dir=None):
+    """build_bvh with a content-addressed disk cache.
+
+    The binned-SAH build is host-side numpy and this container has one
+    vCPU; caching by triangle-buffer hash makes repeated scene compiles
+    (tests, benches, profiling runs) effectively free. Mirrors the
+    reference's persistence of prebuilt BVH nodes in .mesh sidecars
+    (serializer.cpp:269-309).
+    """
+    import hashlib
+    import os
+
+    tris = np.ascontiguousarray(np.asarray(tri_positions, np.float32))
+    key = hashlib.sha1(tris.tobytes()).hexdigest()[:16]
+    cache_dir = cache_dir or os.path.join(
+        os.path.dirname(__file__), '..', '..', 'data', 'bvh_cache')
+    path = os.path.join(cache_dir, f'{key}-{max_leaf_faces}.npz')
+    if os.path.exists(path):
+        z = np.load(path)
+        return Bvh(z['node_min'], z['node_max'], z['a'], z['b'],
+                   z['face_order'], int(z['depth']))
+    bvh = build_bvh(tris, max_leaf_faces)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez_compressed(path, node_min=bvh.node_min, node_max=bvh.node_max,
+                        a=bvh.a, b=bvh.b, face_order=bvh.face_order,
+                        depth=bvh.depth)
+    return bvh
+
+
 def build_bvh(tri_positions, max_leaf_faces=4):
     """Build a binned-SAH BVH over triangles.
 

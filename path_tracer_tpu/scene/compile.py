@@ -316,7 +316,7 @@ def _pack_meshes(scene: Scene):
     for mesh in scene.meshes:
         if mesh.bvh is None:
             tri = mesh.positions[mesh.faces]  # (F, 3, 3)
-            mesh.bvh = bvh_mod.build_bvh(tri)
+            mesh.bvh = bvh_mod.build_bvh_cached(tri)
         bvh = mesh.bvh
         faces = mesh.faces[bvh.face_order]
 
@@ -356,11 +356,13 @@ def _pack_meshes(scene: Scene):
     )
 
 
-def _shape_bounds(shape_type, world_from_object, mesh_root, mesh_node_min, mesh_node_max):
-    """World AABB of a shape (scene.cpp:1031-1093)."""
+def _shape_bounds(shape_type, world_from_object, mesh, *_unused):
+    """World AABB of a shape (scene.cpp:1031-1093). Mesh bounds come from
+    the host-side BVH root (never from device arrays: any device->host
+    readback permanently degrades the TPU runtime's execution mode)."""
     if shape_type == SHAPE_TYPE_MESH_INSTANCE:
-        lo = mesh_node_min[:, mesh_root]
-        hi = mesh_node_max[:, mesh_root]
+        lo = mesh.bvh.node_min[0]
+        hi = mesh.bvh.node_max[0]
     elif shape_type == SHAPE_TYPE_PLANE:
         lo = np.array([-1e9, -1e9, -1e-9], np.float32)
         hi = np.array([+1e9, +1e9, +1e-9], np.float32)
@@ -545,8 +547,6 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
         shape_type, shape_material, shape_mesh_root = [], [], []
         world_from_object, object_from_world = [], []
         bounds_lo, bounds_hi = [], []
-        mesh_node_min = np.asarray(out['mesh_node_min'])
-        mesh_node_max = np.asarray(out['mesh_node_max'])
 
         for entity, world in scene.walk_entities_with_transform():
             if entity.type not in _ENTITY_TO_SHAPE_TYPE:
@@ -565,7 +565,8 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
             shape_mesh_root.append(mesh_root)
             world_from_object.append(world)
             object_from_world.append(np.linalg.inv(world.astype(np.float64)).astype(np.float32))
-            lo, hi = _shape_bounds(stype, world, mesh_root, mesh_node_min, mesh_node_max)
+            lo, hi = _shape_bounds(stype, world,
+                                   getattr(entity, 'mesh', None))
             bounds_lo.append(lo)
             bounds_hi.append(hi)
 
@@ -662,4 +663,15 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
 
     out.pop('_mesh_np', None)
     scene.dirty_flags = 0
-    return PackedScene(**out)
+    packed = PackedScene(**out)
+
+    # Attach host-side metadata so SceneLayout and callers never read
+    # device arrays back (a single device->host transfer permanently
+    # degrades the TPU runtime's execution mode ~1000x, measured).
+    from ..ops.intersect import build_layout_host
+    object.__setattr__(packed, 'host_layout', build_layout_host(scene, packed))
+    object.__setattr__(packed, 'host_camera_models',
+                       tuple(int(np.asarray(c)) for c in
+                             [e.camera_model for e in scene.walk_entities()
+                              if e.type == ENTITY_TYPE_CAMERA] or [0]))
+    return packed

@@ -403,10 +403,28 @@ class Scene:
         self.mark_dirty(SCENE_DIRTY_MESHES | SCENE_DIRTY_SHAPES)
 
     def instantiate_prefab(self, prefab, parent=None):
-        import copy
-        entity = copy.deepcopy(prefab.entity)
+        """Clone the prefab's entity tree into the scene. Assets (meshes,
+        materials, textures) are shared by reference, not copied --
+        matching the reference's prefab semantics (scene.cpp:877-903)."""
+
+        def clone(entity, parent):
+            new = ENTITY_CLASSES[entity.type]()
+            for f in dataclasses.fields(entity):
+                if f.name in ('children', 'parent'):
+                    continue
+                value = getattr(entity, f.name)
+                if f.name == 'transform':
+                    value = Transform(position=value.position.copy(),
+                                      rotation=value.rotation.copy(),
+                                      scale=value.scale.copy(),
+                                      scale_is_uniform=value.scale_is_uniform)
+                setattr(new, f.name, value)
+            new.parent = parent
+            new.children = [clone(c, new) for c in entity.children]
+            return new
+
         parent = parent or self.root
-        entity.parent = parent
+        entity = clone(prefab.entity, parent)
         parent.children.append(entity)
         self.mark_dirty(SCENE_DIRTY_SHAPES | SCENE_DIRTY_CAMERAS)
         return entity

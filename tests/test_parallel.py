@@ -14,8 +14,8 @@ def test_virtual_device_count():
     assert jax.device_count() >= 8
 
 
-def _accum_image(accum, w, h):
-    return np.asarray(resolve(accum, w, h))
+def _accum_image(accum, w, h, lane=None):
+    return np.asarray(resolve(accum, w, h, lane=lane))
 
 
 def test_pixel_sharded_matches_single_device():
@@ -27,11 +27,11 @@ def test_pixel_sharded_matches_single_device():
 
     config = RenderConfig(width=w, height=h)
     single = render(packed, config, rounds, seed=5)
-    img_single = _accum_image(single['accum'], w, h)
+    img_single = _accum_image(single['accum'], w, h, lane=single['lane'])
 
     mesh = make_mesh(jax.devices()[:8], batch=1, pixels=8)
     accum = render_sharded(packed, config, rounds, mesh, seed=5)
-    img_sharded = _accum_image(accum, w, h)
+    img_sharded = _accum_image(accum, w, h, lane=accum['lane'])
 
     np.testing.assert_allclose(img_sharded, img_single, atol=1e-6)
 
@@ -61,9 +61,9 @@ def test_batch_rows_decorrelated():
     config = RenderConfig(width=w, height=h)
     mesh = make_mesh(jax.devices()[:8], batch=8, pixels=1)
     accum = render_sharded(packed, config, 20, mesh, seed=9)
-    img8 = _accum_image(accum, w, h)
+    img8 = _accum_image(accum, w, h, lane=accum['lane'])
     single = render(packed, config, 20, seed=9)
-    img1 = _accum_image(single['accum'], w, h)
+    img1 = _accum_image(single['accum'], w, h, lane=single['lane'])
     # More samples -> lower noise: the 8-way image should differ from the
     # 1-way one (decorrelated streams actually contributed).
     assert np.abs(img8 - img1).max() > 1e-4
