@@ -210,12 +210,13 @@ def _kernel(nodes_ref, meta_ref, tris_ref,
         sp = jnp.where(near_ok & fits, sp + 1, sp)
 
         # Leaf: masked Moller-Trumbore + in-kernel attribute lerp.
+        # Padding triangles (leaves hold up to MAX_LEAF_FACES) are
+        # skipped with a scalar cond, and the 15-extract attribute lerp
+        # only runs when some lane accepted the hit.
         def leaf_fn(carry):
-            t, face, nx, ny, nz, tu, tv = carry
-            count = b - a
-            for k in range(MAX_LEAF_FACES):
+            def one_tri(k, carry):
+                t, face, nx, ny, nz, tu, tv = carry
                 tri = a + k
-                live = k < count
                 trow, tbase = tri_row(tri)
                 p0x = extract(trow, tbase + 0)
                 p0y = extract(trow, tbase + 1)
@@ -243,27 +244,33 @@ def _kernel(nodes_ref, meta_ref, tris_ref,
                 fv = inv_det * (dx * qx + dy * qy + dz * qz)
                 ft = inv_det * (e2x * qx + e2y * qy + e2z * qz)
                 ok &= (fu >= 0.0) & (fu <= 1.0) & (fv >= 0.0) & (fu + fv <= 1.0)
-                ok &= (ft >= 0.0) & (ft < t) & live
+                ok &= (ft >= 0.0) & (ft < t)
 
-                fw = 1.0 - fu - fv
-                t = jnp.where(ok, ft, t)
-                face = jnp.where(ok, tri, face)
-                nx = jnp.where(ok, fw * extract(trow, tbase + 9)
-                               + fu * extract(trow, tbase + 12)
-                               + fv * extract(trow, tbase + 15), nx)
-                ny = jnp.where(ok, fw * extract(trow, tbase + 10)
-                               + fu * extract(trow, tbase + 13)
-                               + fv * extract(trow, tbase + 16), ny)
-                nz = jnp.where(ok, fw * extract(trow, tbase + 11)
-                               + fu * extract(trow, tbase + 14)
-                               + fv * extract(trow, tbase + 17), nz)
-                tu = jnp.where(ok, fw * extract(trow, tbase + 18)
-                               + fu * extract(trow, tbase + 20)
-                               + fv * extract(trow, tbase + 22), tu)
-                tv = jnp.where(ok, fw * extract(trow, tbase + 19)
-                               + fu * extract(trow, tbase + 21)
-                               + fv * extract(trow, tbase + 23), tv)
-            return t, face, nx, ny, nz, tu, tv
+                def accept(carry):
+                    t, face, nx, ny, nz, tu, tv = carry
+                    fw = 1.0 - fu - fv
+                    t = jnp.where(ok, ft, t)
+                    face = jnp.where(ok, tri, face)
+                    nx = jnp.where(ok, fw * extract(trow, tbase + 9)
+                                   + fu * extract(trow, tbase + 12)
+                                   + fv * extract(trow, tbase + 15), nx)
+                    ny = jnp.where(ok, fw * extract(trow, tbase + 10)
+                                   + fu * extract(trow, tbase + 13)
+                                   + fv * extract(trow, tbase + 16), ny)
+                    nz = jnp.where(ok, fw * extract(trow, tbase + 11)
+                                   + fu * extract(trow, tbase + 14)
+                                   + fv * extract(trow, tbase + 17), nz)
+                    tu = jnp.where(ok, fw * extract(trow, tbase + 18)
+                                   + fu * extract(trow, tbase + 20)
+                                   + fv * extract(trow, tbase + 22), tu)
+                    tv = jnp.where(ok, fw * extract(trow, tbase + 19)
+                                   + fu * extract(trow, tbase + 21)
+                                   + fv * extract(trow, tbase + 23), tv)
+                    return t, face, nx, ny, nz, tu, tv
+
+                return jax.lax.cond(jnp.any(ok), accept, lambda c: c, carry)
+
+            return jax.lax.fori_loop(0, b - a, one_tri, carry)
 
         t, face, nx, ny, nz, tu, tv = jax.lax.cond(
             is_leaf, leaf_fn, lambda c: c,

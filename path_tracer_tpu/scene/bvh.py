@@ -60,7 +60,14 @@ def build_bvh_cached(tri_positions, max_leaf_faces=4, cache_dir=None):
         z = np.load(path)
         return Bvh(z['node_min'], z['node_max'], z['a'], z['b'],
                    z['face_order'], int(z['depth']))
-    bvh = build_bvh(tris, max_leaf_faces)
+    # Prefer the native C++ builder (native/bvh_builder.cpp); fall back
+    # to the numpy implementation below.
+    from .native import build_bvh_native
+    native = build_bvh_native(tris, max_leaf_faces)
+    if native is not None:
+        bvh = Bvh(*native)
+    else:
+        bvh = build_bvh(tris, max_leaf_faces)
     os.makedirs(cache_dir, exist_ok=True)
     np.savez_compressed(path, node_min=bvh.node_min, node_max=bvh.node_max,
                         a=bvh.a, b=bvh.b, face_order=bvh.face_order,
