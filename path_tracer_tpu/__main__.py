@@ -1,0 +1,85 @@
+"""Command-line renderer: the framework's `main()`.
+
+    python -m path_tracer_tpu render scene.json out.png [options]
+    python -m path_tracer_tpu demo cornell out.png [options]
+
+The reference's entry point opens an interactive editor window
+(src/main.cpp); headless TPU rendering gets a CLI instead (the
+interactive loop lives in path_tracer_tpu.app.Session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog='path_tracer_tpu')
+    sub = parser.add_subparsers(dest='command', required=True)
+
+    def add_render_args(p):
+        p.add_argument('output', help='output PNG path')
+        p.add_argument('--width', type=int, default=1280)
+        p.add_argument('--height', type=int, default=720)
+        p.add_argument('--rounds', type=int, default=128,
+                       help='wavefront rounds (approx spp * mean path length)')
+        p.add_argument('--seed', type=int, default=0)
+        p.add_argument('--tonemap', choices=['clamp', 'reinhard', 'hable', 'aces'],
+                       default='aces')
+        p.add_argument('--brightness', type=float, default=1.0)
+        p.add_argument('--camera', type=int, default=0)
+
+    p_render = sub.add_parser('render', help='render a scene JSON file')
+    p_render.add_argument('scene', help='scene .json (reference-compatible)')
+    add_render_args(p_render)
+
+    p_demo = sub.add_parser('demo', help='render a built-in demo scene')
+    p_demo.add_argument('name', choices=['cornell', 'spheres', 'viking',
+                                         'pano', 'multi'])
+    add_render_args(p_demo)
+
+    args = parser.parse_args(argv)
+
+    from . import render_scene
+    from .core import constants
+    from .utils.image import save_png
+
+    modes = {
+        'clamp': constants.TONE_MAPPING_MODE_CLAMP,
+        'reinhard': constants.TONE_MAPPING_MODE_REINHARD,
+        'hable': constants.TONE_MAPPING_MODE_HABLE,
+        'aces': constants.TONE_MAPPING_MODE_ACES,
+    }
+
+    if args.command == 'render':
+        from .scene.serializer import load_scene
+        scene = load_scene(args.scene)
+    else:
+        from .scene import procedural
+        scene = {
+            'cornell': procedural.make_cornell_scene,
+            'spheres': procedural.make_sphere_array_scene,
+            'viking': procedural.make_viking_hall_scene,
+            'pano': procedural.make_360_scene,
+            'multi': procedural.make_multi_mesh_scene,
+        }[args.name]()
+
+    t0 = time.time()
+    image = render_scene(scene, width=args.width, height=args.height,
+                         spp_rounds=args.rounds, seed=args.seed,
+                         tonemap_mode=modes[args.tonemap],
+                         brightness=args.brightness,
+                         camera_index=args.camera)
+    import numpy as np
+
+    image = np.asarray(image)
+    save_png(args.output, image)
+    print(f'rendered {args.width}x{args.height} in {time.time()-t0:.1f}s '
+          f'-> {args.output}', file=sys.stderr)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
