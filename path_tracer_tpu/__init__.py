@@ -23,6 +23,7 @@ from .scene.model import Scene, Transform
 from .scene.procedural import (
     make_360_scene,
     make_cornell_scene,
+    make_default_scene,
     make_multi_mesh_scene,
     make_sphere_array_scene,
     make_viking_hall_scene,

@@ -155,6 +155,9 @@ def make_hit(n, duration):
         primitive=jnp.zeros((n,), jnp.int32),
         # Shape-dependent primitive coordinates (barycentrics / local pos).
         coords=jnp.zeros((3, n), jnp.float32),
+        # Traversal-cost counter for debug heatmaps (the reference's
+        # SceneComplexity/MeshComplexity, scene.glsl.inc:115-118).
+        complexity=jnp.zeros((n,), jnp.int32),
     )
 
 
@@ -286,6 +289,7 @@ def intersect_analytic(packed, layout: SceneLayout, origin, direction, hit):
         shape_type=jnp.where(improved, shape_type, hit['shape_type']),
         primitive=jnp.where(improved, 0, hit['primitive']),
         coords=jnp.where(improved, local, hit['coords']),
+        complexity=hit['complexity'] + len(idx),
     )
 
 
@@ -334,6 +338,7 @@ def traverse_mesh_bvh(packed, root: int, origin, direction, hit, shape_index: in
         u=hit['coords'][1],
         v=hit['coords'][2],
         found=jnp.zeros((n,), jnp.bool_),
+        complexity=hit['complexity'],
     )
 
     slots = jnp.arange(STACK_DEPTH)[:, None]
@@ -408,7 +413,8 @@ def traverse_mesh_bvh(packed, root: int, origin, direction, hit, shape_index: in
         node = jnp.where(active, next_node, node)
 
         return dict(node=node, stack=stack, depth=depth, time=time,
-                    primitive=primitive, u=u, v=v, found=found)
+                    primitive=primitive, u=u, v=v, found=found,
+                    complexity=state['complexity'] + active.astype(jnp.int32))
 
     state = jax.lax.while_loop(cond, body, state)
 
@@ -421,6 +427,7 @@ def traverse_mesh_bvh(packed, root: int, origin, direction, hit, shape_index: in
         shape_type=jnp.where(improved, SHAPE_TYPE_MESH_INSTANCE, hit['shape_type']),
         primitive=jnp.where(improved, state['primitive'], hit['primitive']),
         coords=jnp.where(improved, coords, hit['coords']),
+        complexity=state['complexity'],
     )
 
 
@@ -543,6 +550,7 @@ def resolve_hit_attributes(packed, layout: SceneLayout, origin, direction, hit):
         tangent=tangent,
         bitangent=bitangent,
         uv=uv,
+        complexity=hit.get('complexity', jnp.zeros(n, jnp.int32)),
     )
 
 
@@ -589,6 +597,7 @@ def trace(packed, layout: SceneLayout, origin, direction,
                                      hit['shape_type']),
                 primitive=jnp.where(improved, face, hit['primitive']),
                 coords=hit['coords'],
+                complexity=hit['complexity'],
                 mesh_normal=jnp.where(improved, world_normal,
                                       hit['mesh_normal']),
                 mesh_uv=jnp.where(improved, uv, hit['mesh_uv']),

@@ -176,6 +176,34 @@ def gradient_sky_texture(width=256, height=128, horizon=(1.0, 0.7, 0.4),
 # --- benchmark scene configs ------------------------------------------------
 
 
+def make_checker_texture(scene, name='Plane Texture',
+                         type=TEXTURE_TYPE_RADIANCE,
+                         color_a=(1, 1, 1, 1), color_b=(0.5, 0.5, 0.5, 1)):
+    """2x2 nearest-filtered checker (CreateCheckerTexture,
+    scene.cpp:270-292)."""
+    pixels = np.asarray([[color_a, color_b], [color_b, color_a]], np.float32)
+    return scene.create_texture(name=name, type=type, pixels=pixels,
+                                enable_nearest_filtering=True)
+
+
+def make_default_scene():
+    """The reference's startup scene (CreateScene, scene.cpp:912-943):
+    a checker-textured diffuse plane and a pinhole camera at z=1."""
+    from ..core.constants import TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA
+
+    scene = Scene()
+    checker = make_checker_texture(
+        scene, type=TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA)
+    plane_material = scene.create_material(
+        MATERIAL_TYPE_BASIC_DIFFUSE, name='Plane Material',
+        base_texture=checker)
+    scene.create_entity(ENTITY_TYPE_PLANE, material=plane_material,
+                        name='Plane')
+    scene.create_entity(ENTITY_TYPE_CAMERA, name='Camera',
+                        transform=Transform(position=[0, 0, 1]))
+    return scene
+
+
 def make_cornell_scene():
     """Config 1: Cornell-style open box of planes + diffuse spheres."""
     scene = Scene()

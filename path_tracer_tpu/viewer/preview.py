@@ -36,6 +36,8 @@ PREVIEW_RENDER_MODE_BASE_COLOR_SHADED = 1
 PREVIEW_RENDER_MODE_NORMAL = 2
 PREVIEW_RENDER_MODE_MATERIAL_INDEX = 3
 PREVIEW_RENDER_MODE_PRIMITIVE_INDEX = 4
+PREVIEW_RENDER_MODE_MESH_COMPLEXITY = 5
+PREVIEW_RENDER_MODE_SCENE_COMPLEXITY = 6
 
 # 20-color false-color palette (preview_render.glsl COLORS table role).
 _PALETTE = np.asarray([
@@ -120,6 +122,12 @@ def render_preview(packed, layout: SceneLayout, width, height,
     elif mode == PREVIEW_RENDER_MODE_PRIMITIVE_INDEX:
         palette = jnp.asarray(_PALETTE.T)
         color = jnp.where(miss, 0.0, palette[:, hit['primitive'] % 20])
+    elif mode in (PREVIEW_RENDER_MODE_MESH_COMPLEXITY,
+                  PREVIEW_RENDER_MODE_SCENE_COMPLEXITY):
+        # Green traversal-cost heatmap (preview_render.glsl:154-163).
+        heat = hit['complexity'].astype(jnp.float32) / 256.0
+        zeros = jnp.zeros_like(heat)
+        color = jnp.stack([zeros, heat, zeros], axis=0)
     else:
         raise ValueError(f'unknown preview mode {mode}')
 

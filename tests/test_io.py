@@ -155,3 +155,33 @@ def test_preview_modes_and_picking():
     img = np.asarray(preview.render_preview(
         packed, layout, 32, 16, world, selected_shape=shape))
     assert np.isfinite(img).all()
+
+
+def test_default_scene_and_complexity_heatmap():
+    """The reference's startup scene (checker plane, scene.cpp:912-943)
+    renders, and the traversal-complexity heatmap modes produce signal."""
+    import jax.numpy as jnp
+    from path_tracer_tpu.scene.procedural import make_default_scene, make_viking_hall_scene
+    from path_tracer_tpu import render_scene as rs
+
+    scene = make_default_scene()
+    img = np.asarray(rs(scene, width=32, height=16, spp_rounds=20, seed=1))
+    assert np.isfinite(img).all()
+    # The checker texture must produce spatial variation on the floor.
+    floor = img[12:, :, :].mean(axis=-1)
+    assert floor.std() > 0.01
+
+    # Heatmap over a mesh scene: hits have nonzero complexity.
+    mscene = make_viking_hall_scene()
+    packed = compile_scene(mscene)
+    layout = SceneLayout.from_packed(packed)
+    from path_tracer_tpu.scene.model import make_transform_matrix
+    cam = [e for e, w in mscene.walk_entities_with_transform()
+           if e.type == ENTITY_TYPE_CAMERA][0]
+    world = jnp.asarray(make_transform_matrix(
+        cam.transform.position, cam.transform.rotation))
+    heat = np.asarray(preview.render_preview(
+        packed, layout, 32, 16, world,
+        mode=preview.PREVIEW_RENDER_MODE_MESH_COMPLEXITY))
+    assert heat[..., 1].max() > 0.02  # green channel carries the cost
+    assert heat[..., 0].max() == 0.0
