@@ -132,17 +132,26 @@ def reset(packed, config: RenderConfig, seed, lane=None):
 
 
 def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
-                  render_state, termination_probability, rounds=None):
+                  render_state, termination_probability, rounds=None,
+                  sort_each_round=False):
     """Run `rounds` trace+scatter rounds, returning the new render state.
 
     Pure function of (packed, render_state); jit with layout/config
     static. One round advances every path by one vertex; terminated
     paths deposit their sample and respawn at their pixel
     (basic_scatter.glsl:344-359).
+
+    sort_each_round runs the coherence sort inside the round loop (one
+    compiled program). The single-chip driver instead alternates two
+    smaller programs (render() below); the sharded driver uses this flag
+    so sorting composes with shard_map (the sort is shard-local).
     """
     rounds = config.rounds_per_call if rounds is None else rounds
 
     def one_round(_, rs):
+        if sort_each_round:
+            rs = _sort_state(rs, _ray_sort_key(packed, rs['origin'],
+                                               rs['direction']))
         rng = Rng(rs['rng_state'])
         hit = trace(packed, layout, rs['origin'], rs['direction'])
         path, origin, direction, alive = scatter(

@@ -39,7 +39,12 @@ def make_mesh(devices=None, batch=1, pixels=None):
     n = len(devices)
     if pixels is None:
         pixels = n // batch
-    assert batch * pixels == n, (batch, pixels, n)
+    if batch * pixels != n or pixels < 1:
+        raise ValueError(
+            f'mesh wants batch*pixels = {batch}*{pixels} devices but the '
+            f'runtime exposes {n}; for virtual multi-device testing run '
+            f'under JAX_PLATFORMS=cpu with '
+            f'XLA_FLAGS=--xla_force_host_platform_device_count=<n>')
     arr = np.asarray(devices).reshape(batch, pixels)
     return Mesh(arr, ('batch', 'pixels'))
 
@@ -71,8 +76,13 @@ def render_sharded(packed, config: RenderConfig, rounds, mesh: Mesh,
     )
     def run(packed_rep, lane_shard, seed_shard):
         state = reset(packed_rep, config, seed_shard[0], lane_shard)
+        # Same driver semantics as the single-chip path: the coherence
+        # sort runs every round, shard-locally (it permutes a shard's
+        # own lanes only, so it composes with shard_map; the psum merge
+        # below re-aligns by lane id anyway).
         state = render_rounds(packed_rep, layout, config, state,
-                              jnp.float32(termination_probability), rounds)
+                              jnp.float32(termination_probability), rounds,
+                              sort_each_round=config.sort_rays)
         # Batch rows sort identically (same lanes, same seeds per row?
         # no -- rows have different streams), so slots can differ per
         # row; psum merging therefore requires slot-aligned lanes.
