@@ -41,7 +41,7 @@ from ..models import dispatch
 from ..models.common import fetch_ctx, fetch_medium_ctx, sample_texture
 
 
-def fetch_medium(packed, shape_index, lam):
+def fetch_medium(packed, shape_index, lam, types=()):
     """ResolveMedium (basic_scatter.glsl:44-64) for (N,) shape indices.
 
     Returns dict(priority (N,) int32, ior (4, N), absorption (4, N),
@@ -53,7 +53,8 @@ def fetch_medium(packed, shape_index, lam):
     safe_shape = jnp.where(is_none, 0, shape_index)
     material = take_1d(packed.shape_material, safe_shape)
     # Media never sample textures; use the slim medium-column fetch.
-    medium = dispatch.load_medium(fetch_medium_ctx(packed, material, lam))
+    medium = dispatch.load_medium(
+        fetch_medium_ctx(packed, material, lam, types), types)
 
     ambient_scatter = jnp.broadcast_to(packed.scene_scatter_rate, (4, n))
     return dict(
@@ -86,7 +87,7 @@ def sample_skybox_radiance(packed, direction, lam, has_texture=True,
             * packed.skybox_brightness)
 
 
-def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng):
+def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng, types=()):
     """SampleSurfaceIntegrand (basic_scatter.glsl:66-109): one-sample MIS
     between BSDF importance sampling and vMF skybox light sampling.
 
@@ -94,7 +95,7 @@ def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng):
     Returns (scattered (3, N), throughput (4, N), probability (4, N),
     valid (N,)).
     """
-    has_dirac = dispatch.has_dirac_bsdf(ctx)
+    has_dirac = dispatch.has_dirac_bsdf(ctx, types)
     light_probability = jnp.where(
         has_dirac, 0.0, packed.skybox_sampling_probability)
 
@@ -109,8 +110,10 @@ def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng):
     u_choice = rng.uniform()
     light_dir = random_von_mises_fisher(
         rng, packed.skybox_concentration, mean_local)
-    bsdf_dir, bsdf_thr, bsdf_pdf, bsdf_ok = dispatch.sample_bsdf(ctx, view, rng)
-    eval_thr, eval_pdf, eval_ok = dispatch.evaluate_bsdf(ctx, view, light_dir)
+    bsdf_dir, bsdf_thr, bsdf_pdf, bsdf_ok = dispatch.sample_bsdf(
+        ctx, view, rng, types)
+    eval_thr, eval_pdf, eval_ok = dispatch.evaluate_bsdf(
+        ctx, view, light_dir, types)
 
     use_light = u_choice < light_probability
     scattered = jnp.where(use_light, light_dir, bsdf_dir)
@@ -137,12 +140,13 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     has_sky_tex = layout.has_skybox_texture if layout is not None else True
     textured = layout.materials_textured if layout is not None else True
     atlas_size = layout.atlas_size if layout is not None else 8
+    types = layout.material_types if layout is not None else ()
     lam = hero_wavelength_cluster(state['lambda0'])  # (4, N)
 
     active_shapes = state['active_shapes']           # (LIMIT, N)
     active_shape = jnp.min(active_shapes, axis=0)
 
-    medium = fetch_medium(packed, active_shape, lam)
+    medium = fetch_medium(packed, active_shape, lam, types)
 
     throughput = state['throughput'] * jnp.exp(-medium['absorption'] * hit['time'])
     probability = state['probability']
@@ -200,25 +204,25 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     exclude = jnp.where(active_shapes == active_shape, SHAPE_INDEX_NONE,
                         active_shapes)
     exterior_shape = jnp.min(exclude, axis=0)
-    exterior_medium = fetch_medium(packed, exterior_shape, lam)
+    exterior_medium = fetch_medium(packed, exterior_shape, lam, types)
     exterior_ior = jnp.where(hit_exterior, medium['ior'],
                              jnp.where(is_real, exterior_medium['ior'], 1.0))
     exterior_ior = jnp.where(is_real, exterior_ior, 1.0)
 
     ctx = fetch_ctx(packed, hit['material'], lam, hit['uv'], exterior_ior,
-                    textured, atlas_size)
+                    textured, atlas_size, types)
 
     # Surface emission (OpenPBR area lights): accumulate on real exterior
     # hits before the BSDF extends the path. The reference packs emission
     # but leaves its accumulation disabled (openpbr.glsl.inc:294-298).
-    emission_spec = dispatch.surface_emission(ctx)
+    emission_spec = dispatch.surface_emission(ctx, types)
     emissive_hit = surface_event & is_real & hit_exterior
     emit_contrib = jnp.einsum('ckn,kn->cn', observer,
                               emission_spec * throughput) / cluster_pdf
     sample = jnp.where(emissive_hit, sample + emit_contrib, sample)
 
     scattered, s_throughput, s_probability, s_valid = _sample_surface_integrand(
-        packed, ctx, hit, view, rng)
+        packed, ctx, hit, view, rng, types)
 
     scale = 1.0 / jnp.maximum(EPSILON, max4(s_probability))
     surf_throughput = jnp.where(is_real, throughput * s_throughput * scale,

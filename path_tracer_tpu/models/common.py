@@ -104,35 +104,59 @@ def _col(table_column, i):
                       for c in range(table_column.shape[0])], axis=0)
 
 
-def fetch_medium_ctx(packed, material_index, lam):
-    """Gather only the columns needed by load_medium (no texture reads)."""
+def _presence(types):
+    """Static per-model presence flags from SceneLayout.material_types
+    (empty tuple -> assume everything)."""
+    from ..core.constants import (
+        MATERIAL_TYPE_BASIC_METAL, MATERIAL_TYPE_BASIC_TRANSLUCENT,
+        MATERIAL_TYPE_OPENPBR)
+    if not types:
+        return True, True, True
+    return (MATERIAL_TYPE_BASIC_METAL in types,
+            MATERIAL_TYPE_BASIC_TRANSLUCENT in types,
+            MATERIAL_TYPE_OPENPBR in types)
+
+
+def fetch_medium_ctx(packed, material_index, lam, types=()):
+    """Gather only the columns needed by load_medium (no texture reads).
+    Column gathers for models absent from the scene are skipped."""
+    _, has_trans, has_pbr = _presence(types)
     m = packed.materials
     i = material_index
-    return dict(
-        type=_col(m.type, i),
-        lam=lam,
-        ior=_col(m.ior, i),
-        abbe_number=_col(m.abbe_number, i),
-        transmission_spectrum=_col(m.transmission_spectrum, i),
-        transmission_depth=_col(m.transmission_depth, i),
-        scattering_spectrum=_col(m.scattering_spectrum, i),
-        scattering_anisotropy=_col(m.scattering_anisotropy, i),
-        specular_ior=_col(m.specular_ior, i),
-        transmission_scatter_spectrum=_col(m.transmission_scatter_spectrum, i),
-        transmission_scatter_anisotropy=_col(m.transmission_scatter_anisotropy, i),
-        transmission_dispersion_abbe=_col(m.transmission_dispersion_abbe, i),
-    )
+    ctx = dict(type=_col(m.type, i), lam=lam)
+    if has_trans:
+        ctx.update(
+            ior=_col(m.ior, i),
+            abbe_number=_col(m.abbe_number, i),
+            transmission_spectrum=_col(m.transmission_spectrum, i),
+            transmission_depth=_col(m.transmission_depth, i),
+            scattering_spectrum=_col(m.scattering_spectrum, i),
+            scattering_anisotropy=_col(m.scattering_anisotropy, i),
+        )
+    if has_pbr:
+        ctx.update(
+            specular_ior=_col(m.specular_ior, i),
+            transmission_depth=_col(m.transmission_depth, i),
+            transmission_spectrum=_col(m.transmission_spectrum, i),
+            transmission_scatter_spectrum=_col(m.transmission_scatter_spectrum, i),
+            transmission_scatter_anisotropy=_col(m.transmission_scatter_anisotropy, i),
+            transmission_dispersion_abbe=_col(m.transmission_dispersion_abbe, i),
+        )
+    return ctx
 
 
 def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
-              textured=True, atlas_size=8):
+              textured=True, atlas_size=8, types=()):
     """Gather every material attribute for the given lanes.
 
     material_index: (N,) int32 slots into the MaterialTable. Returns a
     dict of per-lane parameter arrays -- the vectorized analogue of
     bsdf_parameters (scene.glsl.inc:659-665) with all table reads done.
-    `textured`/`atlas_size` are static (from SceneLayout).
+    `textured`/`atlas_size`/`types` are static (from SceneLayout);
+    columns only read by material models absent from the scene are not
+    gathered at all (gathers cost per index on TPU).
     """
+    has_metal, has_trans, has_pbr = _presence(types)
     m = packed.materials
     i = material_index
     ctx = dict(
@@ -143,40 +167,49 @@ def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
         base_reflectance=texturable_reflectance(
             packed, _col(m.base_spectrum, i), _col(m.base_texture, i), lam, uv,
             textured, atlas_size),
-        specular_reflectance=texturable_reflectance(
-            packed, _col(m.specular_spectrum, i), _col(m.specular_texture, i),
-            lam, uv, textured, atlas_size),
-        roughness=texturable_value(
-            packed, _col(m.roughness, i), _col(m.roughness_texture, i), uv,
-            textured, atlas_size),
-        roughness_anisotropy=texturable_value(
-            packed, _col(m.roughness_anisotropy, i),
-            _col(m.roughness_anisotropy_texture, i), uv, textured, atlas_size),
-        ior=_col(m.ior, i),
-        abbe_number=_col(m.abbe_number, i),
-        transmission_spectrum=_col(m.transmission_spectrum, i),
-        transmission_depth=_col(m.transmission_depth, i),
-        scattering_spectrum=_col(m.scattering_spectrum, i),
-        scattering_anisotropy=_col(m.scattering_anisotropy, i),
-        # OpenPBR columns.
-        base_weight=_col(m.base_weight, i),
-        base_metalness=_col(m.base_metalness, i),
-        base_diffuse_roughness=_col(m.base_diffuse_roughness, i),
-        specular_weight=_col(m.specular_weight, i),
-        specular_ior=_col(m.specular_ior, i),
-        transmission_weight=_col(m.transmission_weight, i),
-        transmission_scatter_spectrum=_col(m.transmission_scatter_spectrum, i),
-        transmission_scatter_anisotropy=_col(m.transmission_scatter_anisotropy, i),
-        transmission_dispersion_abbe=_col(m.transmission_dispersion_abbe, i),
-        coat_weight=_col(m.coat_weight, i),
-        coat_spectrum=_col(m.coat_spectrum, i),
-        coat_ior=_col(m.coat_ior, i),
-        coat_roughness=_col(m.coat_roughness, i),
-        coat_roughness_anisotropy=_col(m.coat_roughness_anisotropy, i),
-        coat_darkening=_col(m.coat_darkening, i),
-        emission_spectrum=_col(m.emission_spectrum, i),
-        emission_texture=_col(m.emission_texture, i),
-        emission_luminance=_col(m.emission_luminance, i),
-        layer_bounce_limit=_col(m.layer_bounce_limit, i),
     )
+    if has_metal or has_pbr:
+        ctx['specular_reflectance'] = texturable_reflectance(
+            packed, _col(m.specular_spectrum, i), _col(m.specular_texture, i),
+            lam, uv, textured, atlas_size)
+    if has_metal or has_trans or has_pbr:
+        ctx['roughness'] = texturable_value(
+            packed, _col(m.roughness, i), _col(m.roughness_texture, i), uv,
+            textured, atlas_size)
+        ctx['roughness_anisotropy'] = texturable_value(
+            packed, _col(m.roughness_anisotropy, i),
+            _col(m.roughness_anisotropy_texture, i), uv, textured, atlas_size)
+    if has_trans:
+        ctx.update(
+            ior=_col(m.ior, i),
+            abbe_number=_col(m.abbe_number, i),
+            transmission_spectrum=_col(m.transmission_spectrum, i),
+            transmission_depth=_col(m.transmission_depth, i),
+            scattering_spectrum=_col(m.scattering_spectrum, i),
+            scattering_anisotropy=_col(m.scattering_anisotropy, i),
+        )
+    if has_pbr:
+        ctx.update(
+            base_weight=_col(m.base_weight, i),
+            base_metalness=_col(m.base_metalness, i),
+            base_diffuse_roughness=_col(m.base_diffuse_roughness, i),
+            specular_weight=_col(m.specular_weight, i),
+            specular_ior=_col(m.specular_ior, i),
+            transmission_weight=_col(m.transmission_weight, i),
+            transmission_spectrum=_col(m.transmission_spectrum, i),
+            transmission_depth=_col(m.transmission_depth, i),
+            transmission_scatter_spectrum=_col(m.transmission_scatter_spectrum, i),
+            transmission_scatter_anisotropy=_col(m.transmission_scatter_anisotropy, i),
+            transmission_dispersion_abbe=_col(m.transmission_dispersion_abbe, i),
+            coat_weight=_col(m.coat_weight, i),
+            coat_spectrum=_col(m.coat_spectrum, i),
+            coat_ior=_col(m.coat_ior, i),
+            coat_roughness=_col(m.coat_roughness, i),
+            coat_roughness_anisotropy=_col(m.coat_roughness_anisotropy, i),
+            coat_darkening=_col(m.coat_darkening, i),
+            emission_spectrum=_col(m.emission_spectrum, i),
+            emission_texture=_col(m.emission_texture, i),
+            emission_luminance=_col(m.emission_luminance, i),
+            layer_bounce_limit=_col(m.layer_bounce_limit, i),
+        )
     return ctx

@@ -79,6 +79,13 @@ class SceneLayout:
     has_skybox_texture: bool = False
     materials_textured: bool = False
     atlas_size: int = 8
+    # Whether the flattened wide-BVH tables fit the packet kernel's
+    # VMEM budget (decided from array *shapes* only -- no readbacks).
+    wide_fit: bool = False
+    # Material types present in the scene: dispatch prunes absent
+    # models statically (e.g. the OpenPBR layer walk never compiles
+    # into scenes without an OpenPBR material).
+    material_types: Tuple[int, ...] = ()
 
     @staticmethod
     def from_packed(packed):
@@ -100,21 +107,30 @@ class SceneLayout:
                         m.roughness_anisotropy_texture, m.emission_texture)
         textured = any(bool((np.asarray(c) != TEXTURE_INDEX_NONE).any())
                        for c in texture_cols)
+        from . import trace_wide
+        mat_types = np.asarray(m.type)
+        referenced = mat_types[np.asarray(packed.shape_material)]
         return SceneLayout(
             tuple(analytic), tuple(meshes), len(shape_type),
             has_skybox_texture=int(packed.skybox_texture_index) != TEXTURE_INDEX_NONE,
             materials_textured=textured,
             atlas_size=int(packed.atlas_size),
+            wide_fit=trace_wide.tables_fit_vmem(packed.wide_nodes,
+                                                packed.wide_tris),
+            material_types=tuple(sorted(int(t) for t in set(referenced))),
         )
 
 
 def build_layout_host(scene, packed):
     """Build the SceneLayout from the host-side scene document (no
     device readbacks). Mirrors from_packed's semantics."""
+    from ..core.constants import MATERIAL_TYPE_OPENPBR
     from ..scene.compile import _ENTITY_TO_SHAPE_TYPE
     from ..scene.model import ENTITY_TYPE_MESH_INSTANCE
+    from . import trace_wide
 
     analytic, meshes = [], []
+    mat_types = set()
     index = 0
     for entity in (e for e, _ in scene.walk_entities_with_transform()):
         if entity.type not in _ENTITY_TO_SHAPE_TYPE:
@@ -126,6 +142,9 @@ def build_layout_host(scene, packed):
             meshes.append((index, int(entity.mesh.packed_root_node_index)))
         else:
             analytic.append((index, int(stype)))
+        # Material slot 0 is the fallback OpenPBR surface.
+        mat_types.add(int(entity.material.type) if entity.material is not None
+                      else MATERIAL_TYPE_OPENPBR)
         index += 1
 
     textured = False
@@ -138,6 +157,9 @@ def build_layout_host(scene, packed):
         has_skybox_texture=scene.root.skybox_texture is not None,
         materials_textured=textured,
         atlas_size=_host_atlas_size(scene),
+        wide_fit=trace_wide.tables_fit_vmem(packed.wide_nodes,
+                                            packed.wide_tris),
+        material_types=tuple(sorted(mat_types)),
     )
 
 
@@ -555,53 +577,43 @@ def resolve_hit_attributes(packed, layout: SceneLayout, origin, direction, hit):
 
 
 def trace(packed, layout: SceneLayout, origin, direction,
-          duration=HIT_TIME_LIMIT, use_packet=None):
+          duration=HIT_TIME_LIMIT, use_packet=None, interpret=False):
     """Full trace: intersect every shape, resolve hit attributes.
 
     origin/direction: (3, N). Returns the resolved hit SoA dict. Lanes
     that hit nothing have shape == SHAPE_INDEX_NONE and time == duration.
 
-    Mesh instances use the Pallas packet-trace kernel on TPU whenever
-    the packed tables fit VMEM (ops/trace_pallas.py); the portable
-    XLA per-lane traversal is the fallback (and the CPU/test path).
+    Mesh instances use the Pallas wide-BVH packet kernel on TPU
+    whenever the flattened world-space tables fit VMEM
+    (ops/trace_wide.py) -- one kernel launch for all instances; the
+    portable XLA per-lane traversal is the fallback (and the CPU/test
+    path).
     """
-    from . import trace_pallas
+    from . import trace_wide
 
     n = origin.shape[1]
     if use_packet is None:
-        use_packet = (jax.default_backend() == 'tpu'
-                      and trace_pallas.tables_fit_vmem(
-                          packed.trace_nodes, packed.trace_meta,
-                          packed.trace_tris))
+        use_packet = jax.default_backend() == 'tpu' and layout.wide_fit
 
     hit = make_hit(n, duration)
     hit = intersect_analytic(packed, layout, origin, direction, hit)
 
     if layout.mesh_instances and use_packet:
-        hit['mesh_normal'] = jnp.zeros((3, n), jnp.float32)
-        hit['mesh_uv'] = jnp.zeros((2, n), jnp.float32)
-        for shape_index, root in layout.mesh_instances:
-            fw = packed.shape_object_from_world[:, :, shape_index]
-            o = transform_point(fw, origin)
-            d = transform_vector(fw, direction)
-            t, face, normal_obj, uv = trace_pallas.packet_trace(
-                packed.trace_nodes, packed.trace_meta, packed.trace_tris,
-                o, d, hit['time'], root=root)
-            improved = face >= 0
-            normal_obj = safe_normalize(normal_obj)
-            world_normal = transform_normal(normal_obj, fw)
-            hit = dict(
-                time=jnp.where(improved, t, hit['time']),
-                shape=jnp.where(improved, shape_index, hit['shape']),
-                shape_type=jnp.where(improved, SHAPE_TYPE_MESH_INSTANCE,
-                                     hit['shape_type']),
-                primitive=jnp.where(improved, face, hit['primitive']),
-                coords=hit['coords'],
-                complexity=hit['complexity'],
-                mesh_normal=jnp.where(improved, world_normal,
-                                      hit['mesh_normal']),
-                mesh_uv=jnp.where(improved, uv, hit['mesh_uv']),
-            )
+        t, face, normal, uv, shp = trace_wide.wide_trace(
+            packed.wide_nodes, packed.wide_tris, origin, direction,
+            hit['time'], interpret=interpret)
+        improved = face >= 0
+        hit = dict(
+            time=jnp.where(improved, t, hit['time']),
+            shape=jnp.where(improved, shp, hit['shape']),
+            shape_type=jnp.where(improved, SHAPE_TYPE_MESH_INSTANCE,
+                                 hit['shape_type']),
+            primitive=jnp.where(improved, face, hit['primitive']),
+            coords=hit['coords'],
+            complexity=hit['complexity'],
+            mesh_normal=jnp.where(improved, safe_normalize(normal), 0.0),
+            mesh_uv=jnp.where(improved, uv, 0.0),
+        )
     else:
         for shape_index, root in layout.mesh_instances:
             fw = packed.shape_object_from_world[:, :, shape_index]

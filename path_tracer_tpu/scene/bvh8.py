@@ -1,0 +1,240 @@
+"""Wide (8-ary) BVH over world-space triangles for the packet kernel.
+
+The reference traverses a binary mesh BVH per SIMT thread
+(/root/reference/src/scene/scene.glsl.inc:336-399) under a TLAS of
+instances (:468-520). The TPU packet kernel pays a fixed scalar/fetch
+cost per node *pop*, so the tree is reshaped for pop economy instead:
+
+  * Instancing is flattened at compile time: every mesh instance's
+    triangles are pre-transformed to world space and one BVH covers the
+    whole scene (the TLAS's culling role is subsumed by the top of this
+    tree, and per-instance ray transforms disappear from the kernel).
+  * The binary SAH tree (native/bvh_builder.cpp) is collapsed into
+    8-wide nodes: ~3x fewer pops, and one 128-lane node row holds all
+    eight child boxes so a single fetch feeds the whole pop.
+  * Leaves are 4-triangle blocks aligned to 128-lane rows, so a leaf
+    pop is also a single row fetch. Subtrees of <= 4 faces collapse
+    into one leaf (the binary builder's ~1.1-face leaves are far too
+    fine for packet traversal, where all 1024 lanes test every
+    triangle anyway).
+
+Node row layout (one float32 row of 128 lanes per wide node):
+  lanes  0..47  child AABBs, coordinate-major: lo_x[0..7], lo_y[0..7],
+                lo_z[0..7], hi_x[0..7], hi_y[0..7], hi_z[0..7]
+                (empty child slots get an inverted box +BIG/-BIG)
+  lanes 48..55  per-child meta, stored as exact-integer float32:
+                >= 0: wide index of an interior child
+                <  0: -(tri_row * 8 + face_count) for a leaf child
+  lane  64      traversal-order axis (0/1/2): children are pre-sorted
+                by centroid along this axis at build time; the kernel
+                picks push direction from the packet's mean direction
+                sign (near-first traversal without per-ray sorting).
+
+Triangle row layout (one float32 row per 4-triangle block; triangle k
+at lane base 32*k):
+  +0..8   p0 p1 p2 (world-space positions)
+  +9..17  n0 n1 n2 (world-space unit vertex normals)
+  +18..23 uv0 uv1 uv2
+  +24     shape index (exact-integer float32)
+Padding slots are degenerate (all zeros -> Moller-Trumbore det == 0).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+
+import numpy as np
+
+BIG = 1.0e9            # box-miss sentinel; finite so interval math never NaNs
+WIDE_WIDTH = 8
+TRI_STRIDE = 32
+TRIS_PER_ROW = 4
+META_LANE = 48
+AXIS_LANE = 64
+
+
+@dataclass
+class WideBvh:
+    nodes: np.ndarray      # (W, 128) float32
+    tris: np.ndarray       # (R, 128) float32
+    face_map: np.ndarray   # (R*4,) int32 -> input face index, -1 = padding
+    num_nodes: int
+    num_leaves: int
+
+
+def _subtree_face_ranges(a, b):
+    """Per-node (face_lo, face_hi) of the contiguous face range each
+    subtree spans. Children are allocated after their parent by both
+    builders, so one reverse sweep suffices."""
+    n = len(a)
+    is_leaf = b > 0
+    lo = np.zeros(n, np.int64)
+    hi = np.zeros(n, np.int64)
+    for i in range(n - 1, -1, -1):
+        if is_leaf[i]:
+            lo[i], hi[i] = a[i], b[i]
+        else:
+            lo[i] = min(lo[a[i]], lo[a[i] + 1])
+            hi[i] = max(hi[a[i]], hi[a[i] + 1])
+    return lo, hi
+
+
+def collapse_bvh2(node_min, node_max, a, b, leaf_max=4):
+    """Collapse a binary BVH into wide-node records.
+
+    Greedy top-down: each wide node starts from one binary subtree root
+    and repeatedly expands its largest-surface-area member until it has
+    8 members or none are expandable. Members whose subtree spans
+    <= leaf_max contiguous faces become leaf children; the rest become
+    interior children (recursively collapsed).
+
+    Returns (children, axes) where children[w] is a list of
+    ('leaf', face_lo, count) / ('node', wide_index) entries sorted by
+    centroid along axes[w].
+    """
+    node_min = np.asarray(node_min, np.float32)
+    node_max = np.asarray(node_max, np.float32)
+    a = np.asarray(a)
+    b = np.asarray(b)
+    flo, fhi = _subtree_face_ranges(a, b)
+    count = fhi - flo
+
+    size = np.maximum(node_max - node_min, 0.0)
+    area = (size[:, 0] * size[:, 1] + size[:, 1] * size[:, 2]
+            + size[:, 2] * size[:, 0])
+
+    def leafable(n):
+        return count[n] <= leaf_max
+
+    children, axes = [], []
+    queue = deque()
+
+    def alloc(n):
+        idx = len(children)
+        children.append(None)
+        axes.append(0)
+        queue.append((idx, n))
+        return idx
+
+    if leafable(0):
+        children.append([('leaf', int(flo[0]), int(count[0]), 0)]
+                        if count[0] > 0 else [])
+        axes.append(0)
+        return children, axes
+
+    alloc(0)
+    while queue:
+        w, root = queue.popleft()
+        members = [root]
+        while len(members) < WIDE_WIDTH:
+            cands = [m for m in members if not leafable(m)]
+            if not cands:
+                break
+            pick = max(cands, key=lambda m: area[m])
+            members.remove(pick)
+            members.extend((int(a[pick]), int(a[pick]) + 1))
+
+        cent = 0.5 * (node_min[members] + node_max[members])
+        axis = int(np.argmax(cent.max(axis=0) - cent.min(axis=0)))
+        members.sort(key=lambda m: 0.5 * (node_min[m][axis] + node_max[m][axis]))
+        entries = []
+        for m in members:
+            if leafable(m):
+                entries.append(('leaf', int(flo[m]), int(count[m]), m))
+            else:
+                entries.append(('node', alloc(m), 0, m))
+        children[w] = entries
+        axes[w] = axis
+    return children, axes
+
+
+def pack_wide(children, axes, node_min, node_max,
+              tri_positions, tri_normals, tri_uvs, tri_shape):
+    """Pack collapsed wide nodes + re-blocked triangles into kernel rows.
+
+    tri_* are in the binary BVH's permuted face order (the order the
+    leaf face ranges index). Leaf faces are copied into fresh 4-aligned
+    blocks so a leaf is always one row fetch.
+    """
+    node_min = np.asarray(node_min, np.float32)
+    node_max = np.asarray(node_max, np.float32)
+    w = len(children)
+    nodes = np.zeros((w, 128), np.float32)
+    nodes[:, 0:24] = BIG          # lo of empty slots
+    nodes[:, 24:48] = -BIG        # hi of empty slots
+    nodes[:, AXIS_LANE] = np.asarray(axes, np.float32)
+
+    face_map = []
+    num_leaves = 0
+    for widx, entries in enumerate(children):
+        for c, entry in enumerate(entries):
+            kind, p0, p1, m = entry
+            if kind == 'leaf':
+                num_leaves += 1
+                tri_row = len(face_map) // TRIS_PER_ROW
+                face_map.extend(range(p0, p0 + p1))
+                face_map.extend([-1] * (-len(face_map) % TRIS_PER_ROW))
+                meta = -(tri_row * 8 + p1)
+            else:
+                meta = p0
+            lo, hi = node_min[m], node_max[m]
+            for ax in range(3):
+                nodes[widx, 8 * ax + c] = lo[ax]
+                nodes[widx, 24 + 8 * ax + c] = hi[ax]
+            nodes[widx, META_LANE + c] = np.float32(meta)
+
+    if not face_map:
+        face_map = [-1] * TRIS_PER_ROW
+    face_map = np.asarray(face_map, np.int32)
+    rows = len(face_map) // TRIS_PER_ROW
+    tris = np.zeros((rows, 128), np.float32)
+
+    tri_positions = np.asarray(tri_positions, np.float32)  # (F, 3, 3)
+    tri_normals = np.asarray(tri_normals, np.float32)      # (F, 3, 3)
+    tri_uvs = np.asarray(tri_uvs, np.float32)              # (F, 3, 2)
+    tri_shape = np.asarray(tri_shape, np.float32)          # (F,)
+
+    valid = face_map >= 0
+    src = face_map[valid]
+    slot = np.nonzero(valid)[0]
+    r = slot // TRIS_PER_ROW
+    base = (slot % TRIS_PER_ROW) * TRI_STRIDE
+    for v in range(3):
+        for c in range(3):
+            tris[r, base + 3 * v + c] = tri_positions[src, v, c]
+            tris[r, base + 9 + 3 * v + c] = tri_normals[src, v, c]
+    for v in range(3):
+        for c in range(2):
+            tris[r, base + 18 + 2 * v + c] = tri_uvs[src, v, c]
+    tris[r, base + 24] = tri_shape[src]
+
+    return WideBvh(nodes=nodes, tris=tris, face_map=face_map,
+                   num_nodes=w, num_leaves=num_leaves)
+
+
+def build_wide_bvh(tri_positions, tri_normals, tri_uvs, tri_shape,
+                   leaf_max=4):
+    """World-space triangles -> packed wide BVH tables.
+
+    tri_positions/tri_normals: (F, 3 verts, 3); tri_uvs: (F, 3, 2);
+    tri_shape: (F,) shape index per face.
+    """
+    from .bvh import build_bvh_cached
+
+    tri_positions = np.asarray(tri_positions, np.float32)
+    bvh = build_bvh_cached(tri_positions)
+    order = bvh.face_order
+    children, axes = collapse_bvh2(bvh.node_min, bvh.node_max, bvh.a, bvh.b,
+                                   leaf_max=leaf_max)
+    wide = pack_wide(children, axes, bvh.node_min, bvh.node_max,
+                     tri_positions[order],
+                     np.asarray(tri_normals, np.float32)[order],
+                     np.asarray(tri_uvs, np.float32)[order],
+                     np.asarray(tri_shape, np.float32)[order])
+    # Remap face_map back to the caller's face order for testability.
+    valid = wide.face_map >= 0
+    remapped = wide.face_map.copy()
+    remapped[valid] = np.asarray(order, np.int64)[wide.face_map[valid]]
+    wide.face_map = remapped
+    return wide

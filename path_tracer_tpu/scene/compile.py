@@ -153,12 +153,12 @@ class PackedScene:
     mesh_node_a: Any            # (B,) int32: child index | face begin
     mesh_node_b: Any            # (B,) int32: 0 | face end
 
-    # Flat (rows, 128) tables for the Pallas packet-trace kernel
-    # (ops/trace_pallas.py): scalar-addressed node boxes/meta and
-    # triangle rows with inlined vertex attributes.
-    trace_nodes: Any            # (R1, 128) float32
-    trace_meta: Any             # (R2, 128) int32
-    trace_tris: Any             # (R3, 128) float32
+    # Flat (rows, 128) tables for the Pallas wide-BVH packet kernel
+    # (ops/trace_wide.py): instancing flattened to world space, 8-wide
+    # nodes (one row each) and 4-aligned triangle blocks with inlined
+    # world-space vertex attributes + shape index.
+    wide_nodes: Any             # (W, 128) float32
+    wide_tris: Any              # (R, 128) float32
 
     materials: MaterialTable
 
@@ -356,6 +356,45 @@ def _pack_meshes(scene: Scene):
     )
 
 
+def _build_wide_tables(instances):
+    """Flatten every mesh instance to world space and build the wide
+    BVH tables for the packet kernel (scene/bvh8.py).
+
+    Pre-transforming positions and (inverse-transpose) normals at
+    compile time removes all per-instance ray transforms from the hot
+    kernel and lets one SAH tree cull across instances -- the role the
+    reference's TLAS plays at scene.glsl.inc:468-520, strictly
+    stronger since it culls at triangle granularity.
+    """
+    from . import bvh8
+
+    pos_parts, nrm_parts, uv_parts, shp_parts = [], [], [], []
+    for shape_index, entity, world, inv_world in instances:
+        mesh = entity.mesh
+        faces = np.asarray(mesh.faces)
+        if len(faces) == 0:
+            continue
+        p = np.asarray(mesh.positions, np.float32)[faces]        # (F, 3, 3)
+        p = p @ world[:3, :3].T + world[:3, 3]
+        n = np.asarray(mesh.normals, np.float32)[faces]          # (F, 3, 3)
+        n = n @ inv_world[:3, :3]   # row-vector form of (W^-1)^T n
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        uv = np.asarray(mesh.uvs, np.float32)[faces]             # (F, 3, 2)
+        pos_parts.append(p.astype(np.float32))
+        nrm_parts.append(n.astype(np.float32))
+        uv_parts.append(uv)
+        shp_parts.append(np.full(len(faces), shape_index, np.float32))
+
+    if not pos_parts:
+        return bvh8.WideBvh(nodes=np.zeros((1, 128), np.float32),
+                            tris=np.zeros((1, 128), np.float32),
+                            face_map=np.full(4, -1, np.int32),
+                            num_nodes=0, num_leaves=0)
+    return bvh8.build_wide_bvh(
+        np.concatenate(pos_parts), np.concatenate(nrm_parts),
+        np.concatenate(uv_parts), np.concatenate(shp_parts))
+
+
 def _shape_bounds(shape_type, world_from_object, mesh, *_unused):
     """World AABB of a shape (scene.cpp:1031-1093). Mesh bounds come from
     the host-side BVH root (never from device arrays: any device->host
@@ -533,20 +572,13 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
     if dirty & SCENE_DIRTY_MESHES:
         mesh_arrays = _pack_meshes(scene)
         out.update({k: jnp.asarray(v) for k, v in mesh_arrays.items()})
-        from ..ops import trace_pallas
-        tables = trace_pallas.pack_tables(
-            mesh_arrays['mesh_node_min'], mesh_arrays['mesh_node_max'],
-            mesh_arrays['mesh_node_a'], mesh_arrays['mesh_node_b'],
-            mesh_arrays['face_positions'], mesh_arrays['face_vertices'],
-            mesh_arrays['vertex_normals'], mesh_arrays['vertex_uvs'])
-        out.update({k: jnp.asarray(v) for k, v in tables.items()})
-        out['_mesh_np'] = mesh_arrays
         dirty |= SCENE_DIRTY_SHAPES
 
     if dirty & SCENE_DIRTY_SHAPES:
         shape_type, shape_material, shape_mesh_root = [], [], []
         world_from_object, object_from_world = [], []
         bounds_lo, bounds_hi = [], []
+        instances = []  # (shape_index, entity, world, object_from_world)
 
         for entity, world in scene.walk_entities_with_transform():
             if entity.type not in _ENTITY_TO_SHAPE_TYPE:
@@ -564,7 +596,11 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
             shape_material.append(material_slot)
             shape_mesh_root.append(mesh_root)
             world_from_object.append(world)
-            object_from_world.append(np.linalg.inv(world.astype(np.float64)).astype(np.float32))
+            inv_world = np.linalg.inv(world.astype(np.float64)).astype(np.float32)
+            object_from_world.append(inv_world)
+            if stype == SHAPE_TYPE_MESH_INSTANCE:
+                instances.append((entity.packed_shape_index, entity,
+                                  world, inv_world))
             lo, hi = _shape_bounds(stype, world,
                                    getattr(entity, 'mesh', None))
             bounds_lo.append(lo)
@@ -596,6 +632,10 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
             tlas_child_a=jnp.asarray(tl_a), tlas_child_b=jnp.asarray(tl_b),
             tlas_shape=jnp.asarray(tl_shape),
         )
+
+        wide = _build_wide_tables(instances)
+        out['wide_nodes'] = jnp.asarray(wide.nodes)
+        out['wide_tris'] = jnp.asarray(wide.tris)
         dirty |= SCENE_DIRTY_GLOBALS
 
     if dirty & SCENE_DIRTY_CAMERAS:
@@ -661,7 +701,6 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
         out['skybox_brightness'] = jnp.asarray(scene.root.skybox_brightness, jnp.float32)
         out['scene_scatter_rate'] = jnp.asarray(scene.root.scatter_rate, jnp.float32)
 
-    out.pop('_mesh_np', None)
     scene.dirty_flags = 0
     packed = PackedScene(**out)
 

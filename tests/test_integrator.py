@@ -1,6 +1,7 @@
 """End-to-end integrator tests: furnace, Cornell, determinism, MIS."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from path_tracer_tpu import (
@@ -45,6 +46,7 @@ def _furnace_scene(albedo=1.0, roughness=None, material_type=MATERIAL_TYPE_BASIC
     return scene
 
 
+@pytest.mark.slow
 def test_white_furnace_diffuse():
     """A unit-albedo diffuse sphere in a uniform unit sky must converge to
     the same color as the sky itself (energy conservation of the whole
@@ -57,6 +59,7 @@ def test_white_furnace_diffuse():
     assert abs(center.mean() - sky.mean()) / sky.mean() < 0.06, (center, sky)
 
 
+@pytest.mark.slow
 def test_dark_sphere_is_darker():
     img = _mean_image(_furnace_scene(albedo=0.2), rounds=200, w=24, h=12)
     sky = img[0, 0].mean()
@@ -64,6 +67,7 @@ def test_dark_sphere_is_darker():
     assert center < 0.55 * sky
 
 
+@pytest.mark.slow
 def test_cornell_walls_are_tinted():
     img = _mean_image(make_cornell_scene(), rounds=250, w=48, h=24,
                       brightness=2.0)
@@ -83,6 +87,7 @@ def test_determinism_same_seed():
     assert np.abs(a - c).max() > 0
 
 
+@pytest.mark.slow
 def test_skybox_mis_unbiased():
     """Rendering with vMF skybox light sampling enabled must converge to
     the same image as pure BSDF sampling (one-sample MIS correctness,
@@ -98,6 +103,7 @@ def test_skybox_mis_unbiased():
     assert abs(a - b) / a < 0.08, (a, b)
 
 
+@pytest.mark.slow
 def test_metal_sphere_reflects_not_absorbs():
     img = _mean_image(
         _furnace_scene(albedo=0.9, roughness=0.1,

@@ -1,6 +1,7 @@
 """OpenPBR layered model tests: furnace, metalness, emission, coat."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from path_tracer_tpu import render_scene
@@ -30,6 +31,7 @@ def _render(scene, rounds=300, w=24, h=12, seed=0):
                                    spp_rounds=rounds, seed=seed))
 
 
+@pytest.mark.slow
 def test_openpbr_white_furnace():
     """Unit-albedo diffuse-only OpenPBR sphere in a unit sky: near sky."""
     img = _render(_openpbr_scene(base_color=np.ones(3), base_metalness=0.0,
@@ -43,6 +45,7 @@ def test_openpbr_white_furnace():
     assert 0.75 * sky < center < 1.1 * sky, (center, sky)
 
 
+@pytest.mark.slow
 def test_openpbr_metalness_darkens_with_base():
     bright = _render(_openpbr_scene(base_color=np.asarray([0.95, 0.95, 0.95]),
                                     base_metalness=1.0, specular_roughness=0.2),
@@ -53,6 +56,7 @@ def test_openpbr_metalness_darkens_with_base():
     assert bright[6, 12].mean() > dark[6, 12].mean() + 0.02
 
 
+@pytest.mark.slow
 def test_openpbr_emission_is_visible():
     scene = _openpbr_scene(base_color=np.zeros(3),
                            emission_color=np.asarray([1.0, 0.4, 0.1]),
@@ -67,6 +71,7 @@ def test_openpbr_emission_is_visible():
     assert center[0] > center[2]  # orange-ish emission
 
 
+@pytest.mark.slow
 def test_openpbr_coat_runs_and_is_finite():
     img = _render(_openpbr_scene(base_color=np.asarray([0.6, 0.1, 0.1]),
                                  coat_weight=1.0, coat_roughness=0.05,

@@ -1,6 +1,7 @@
 """Multi-device sharded rendering tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +19,7 @@ def _accum_image(accum, w, h, lane=None):
     return np.asarray(resolve(accum, w, h, lane=lane))
 
 
+@pytest.mark.slow
 def test_pixel_sharded_matches_single_device():
     """Pixel sharding is a pure partition: same seeds, same lanes -> the
     sharded render must be bitwise-identical to the single-device one."""
@@ -36,6 +38,7 @@ def test_pixel_sharded_matches_single_device():
     np.testing.assert_allclose(img_sharded, img_single, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_batch_sharding_accumulates_more_samples():
     scene = make_cornell_scene()
     packed = compile_scene(scene, aspect_ratio=2.0)
@@ -54,6 +57,7 @@ def test_batch_sharding_accumulates_more_samples():
     assert img.max() > 0.01
 
 
+@pytest.mark.slow
 def test_batch_rows_decorrelated():
     scene = make_cornell_scene()
     packed = compile_scene(scene, aspect_ratio=2.0)
