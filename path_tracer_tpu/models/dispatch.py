@@ -83,9 +83,7 @@ def sample_bsdf(ctx, view, rng, types=()):
         elif t == MATERIAL_TYPE_BASIC_TRANSLUCENT:
             results[t] = basic_translucent.sample_bsdf(ctx, view, u1, u2, u3)
         else:
-            u4 = rng.uniform()
-            u5 = rng.uniform()
-            results[t] = openpbr.sample_bsdf(ctx, view, u1, u2, u3, u4, u5)
+            results[t] = openpbr.sample_bsdf(ctx, view, u1, u2, u3, rng)
     return _select(ctx['type'], results)
 
 

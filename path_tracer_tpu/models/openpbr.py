@@ -271,12 +271,13 @@ def _base_diffuse_sample(p, out_dir, u1, u2):
     return in_dir, thr, jnp.ones((4, n)), jnp.zeros((n,), jnp.bool_)
 
 
-def sample_bsdf(ctx, view, u1, u2, u3, u4, u5):
+def sample_bsdf(ctx, view, u1, u2, u3, rng):
     """OpenPBR_Sample (openpbr.glsl.inc:463-515): layer random walk.
 
     u1/u2/u3 seed the per-evaluation parameter composition; the walk
-    draws a fixed budget of fresh uniforms per bounce via a counter hash
-    of (u4, u5, bounce) so all lanes stay aligned.
+    draws three fresh counter-RNG uniforms per bounce (the loop bound is
+    static, so every lane's stream stays aligned). An earlier float
+    multiply-hash of two base uniforms had visible lattice structure.
     """
     n = view.shape[1]
     p = _compose_parameters(ctx, (u1, u2, u3))
@@ -291,15 +292,8 @@ def sample_bsdf(ctx, view, u1, u2, u3, u4, u5):
     in_dir = -view
     dead = jnp.zeros((n,), jnp.bool_)
 
-    # Deterministic per-bounce uniforms derived from (u4, u5).
-    def bounce_uniforms(i):
-        def h(x, salt):
-            s = (x * 4294967291.0 + salt * 2654435769.0)
-            return s - jnp.floor(s)
-        return h(u4, i * 3 + 1), h(u5, i * 3 + 2), h(u4 + u5, i * 3 + 3)
-
     for i in range(MAX_LAYER_BOUNCES):
-        b1, b2, b3 = bounce_uniforms(i)
+        b1, b2, b3 = rng.uniform(), rng.uniform(), rng.uniform()
         active = (layer != LAYER_EXTERNAL) & (i < ctx['layer_bounce_limit']) & ~dead
 
         ci, cthr, cden, cdead = _coat_sample(p, out_dir, b1, b2, b3)

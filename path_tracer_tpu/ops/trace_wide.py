@@ -58,13 +58,12 @@ PASS_LIMIT = 0.5 * BIG   # entries >= this mean "child not hit"
 # VMEM budget guard: tables beyond this fall back to the XLA traversal.
 VMEM_TABLE_LIMIT_BYTES = 13 * 1024 * 1024
 
-def _eye(rows, cols, anti=False):
+def _eye(rows, cols):
     """One-hot constant built from iota (pallas kernels cannot capture
-    array constants): identity redistributes lane i -> sublane i; the
-    anti-identity reverses sublanes."""
+    array constants): identity redistributes lane i -> sublane i."""
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    return ((r + c == rows - 1) if anti else (r == c)).astype(jnp.float32)
+    return (r == c).astype(jnp.float32)
 
 
 def tables_fit_vmem(wide_nodes, wide_tris):
@@ -78,14 +77,24 @@ def _outer(row):
     lane-broadcast (1, 128) slice, ready to meet (8, 128) ray data.
     """
     ones = jnp.ones((1, 128), jnp.float32)
+    # HIGHEST precision is mandatory: the default TPU matmul truncates
+    # f32 operands to bf16, which rounds child indices / leaf encodings
+    # (exact integers up to ~1e5 stored as f32) to garbage. bf16x3
+    # decomposition reproduces f32 exactly for these tiny matmuls.
     return jax.lax.dot_general(row, ones, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _kernel(nodes_ref, tris_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_in_ref,
             t_ref, face_ref, nx_ref, ny_ref, nz_ref, tu_ref, tv_ref,
-            shp_ref, stack_ref, sp_ref, tp_ref, sc_ref, *, node_mode):
+            shp_ref, *rest, node_mode, stats):
+    # rest = [stats_ref?] + scratch [stack, sp, tp, sc, ct].
+    if stats:
+        stats_ref = rest[0]
+        rest = rest[1:]
+    stack_ref, sp_ref, tp_ref, sc_ref, ct_ref = rest
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -99,7 +108,6 @@ def _kernel(nodes_ref, tris_ref,
     oinv_x, oinv_y, oinv_z = ox * inv_x, oy * inv_y, oz * inv_z
 
     s72 = _eye(72, 128)
-    j8 = _eye(8, 8, anti=True)
     bigf = jnp.float32(BIG)
 
     # Packet direction majority per axis -> push-order flip flags.
@@ -123,6 +131,9 @@ def _kernel(nodes_ref, tris_ref,
     shp_ref[:] = jnp.zeros_like(face_ref)
     stack_ref[0] = jnp.int32(0)
     tp_ref[0] = jnp.max(t_in_ref[:])
+    if stats:
+        ct_ref[0] = jnp.int32(0)
+        ct_ref[1] = jnp.int32(0)
 
     def interval_entries(y, t_pkt):
         """Conservative per-child (8,1) entry times from packet intervals."""
@@ -176,11 +187,14 @@ def _kernel(nodes_ref, tris_ref,
         return jnp.min(jnp.concatenate(rows, axis=0), axis=1, keepdims=True)
 
     def interior(v, sp):
+        if stats:
+            ct_ref[0] = ct_ref[0] + 1
         row = nodes_ref[pl.ds(v, 1), :]
         t_pkt = tp_ref[0]
         if node_mode == 'interval':
             y = jax.lax.dot_general(s72, row, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
             ents = interval_entries(y, t_pkt)
             meta = y[META_LANE:META_LANE + 8]
             axis = y[AXIS_LANE:AXIS_LANE + 1]
@@ -196,31 +210,33 @@ def _kernel(nodes_ref, tris_ref,
         # inverted box like a regular one.
         ents = jnp.where(meta != 0.0, ents, bigf)
 
+        block = jnp.concatenate(
+            [ents, meta, jnp.broadcast_to(axis, (8, 1))], axis=0)  # (24, 1)
+        sc_ref[:, :] = jnp.broadcast_to(block, (24, 128))
+
         # Children are build-sorted ascending along `axis`; when the
         # packet flies forward along it the near child is index 0, so
-        # push order must be reversed (stack pops near-first).
-        fwd_sel = jnp.where(axis == 0.0, fwd[0],
-                            jnp.where(axis == 1.0, fwd[1], fwd[2]))
-        ents_r = jnp.dot(j8, ents, preferred_element_type=jnp.float32)
-        meta_r = jnp.dot(j8, meta, preferred_element_type=jnp.float32)
-        ents = jnp.where(fwd_sel, ents_r, ents)
-        meta = jnp.where(fwd_sel, meta_r, meta)
-
-        block = jnp.concatenate([ents, meta], axis=0)  # (16, 1)
-        sc_ref[:, :] = jnp.broadcast_to(block, (16, 128))
-
+        # push order must be reversed (stack pops near-first). The flip
+        # is decided and applied entirely on the scalar unit (a (1,1)
+        # vector select does not lower on Mosaic).
+        ax = sc_ref[16, 0]
+        flip = jnp.where(ax == 0.0, fwd[0],
+                         jnp.where(ax == 1.0, fwd[1], fwd[2]))
         for i in range(8):
-            e = sc_ref[i, 0]
+            e = jnp.where(flip, sc_ref[7 - i, 0], sc_ref[i, 0])
+            m = jnp.where(flip, sc_ref[15 - i, 0], sc_ref[8 + i, 0])
             ok = (e < PASS_LIMIT) & (sp < STACK_DEPTH)
 
             @pl.when(ok)
             def _():
-                stack_ref[sp] = sc_ref[8 + i, 0].astype(jnp.int32)
+                stack_ref[sp] = m.astype(jnp.int32)
 
             sp = jnp.where(ok, sp + 1, sp)
         sp_ref[0] = sp
 
     def leaf(v):
+        if stats:
+            ct_ref[1] = ct_ref[1] + 1
         u = -v
         count = jax.lax.rem(u, 8)
         tri_row = jax.lax.div(u, 8)
@@ -308,18 +324,29 @@ def _kernel(nodes_ref, tris_ref,
         return sp_ref[0]
 
     jax.lax.while_loop(cond, body, jnp.int32(1))
+    if stats:
+        # Scalar stores to VMEM are unsupported; write a full block with
+        # the counters in lanes 0/1 of row 0.
+        li = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        stats_ref[:, :] = jnp.where(
+            ri == 0,
+            jnp.where(li == 0, ct_ref[0], jnp.where(li == 1, ct_ref[1], 0)),
+            0)
 
 
-@functools.partial(jax.jit, static_argnames=('node_mode', 'interpret'))
+@functools.partial(jax.jit,
+                   static_argnames=('node_mode', 'interpret', 'stats'))
 def wide_trace(wide_nodes, wide_tris, origin, direction, t_in,
-               node_mode='interval', interpret=False):
+               node_mode='exact', interpret=False, stats=False):
     """Trace rays against the flattened world-space wide BVH.
 
     origin/direction: (3, N) world-space rays; t_in: (N,) current best
     hit times (reach pruning). Returns (t, face, world normal (3, N),
     uv (2, N), shape (N,)) with face == -1 where nothing closer was hit.
     Normals are the raw lerped world-space vertex normals (normalize
-    downstream).
+    downstream). With stats=True also returns a (packets, 2) int32
+    array of per-packet (interior pops, leaf pops).
     """
     n = origin.shape[1]
     packet = PACKET_ROWS * 128
@@ -345,26 +372,35 @@ def wide_trace(wide_nodes, wide_tris, origin, direction, t_in,
     o = origin.reshape(3, rows, 128)
     d = direction.reshape(3, rows, 128)
 
-    out_dtypes = (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
-                  jnp.float32, jnp.float32, jnp.float32, jnp.int32)
+    out_shapes = [jax.ShapeDtypeStruct(shape2, dt) for dt in
+                  (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
+                   jnp.float32, jnp.float32, jnp.float32, jnp.int32)]
+    out_specs = [ray_block() for _ in range(8)]
+    if stats:
+        out_shapes.append(jax.ShapeDtypeStruct((grid * 8, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        functools.partial(_kernel, node_mode=node_mode),
-        out_shape=tuple(jax.ShapeDtypeStruct(shape2, dt) for dt in out_dtypes),
+        functools.partial(_kernel, node_mode=node_mode, stats=stats),
+        out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(wide_nodes), table_block(wide_tris)]
         + [ray_block() for _ in range(7)],
-        out_specs=tuple(ray_block() for _ in range(8)),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((1,), jnp.float32),
-            pltpu.VMEM((16, 128), jnp.float32),
+            pltpu.VMEM((24, 128), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
         ],
         interpret=interpret,
     )(wide_nodes, wide_tris,
       o[0], o[1], o[2], d[0], d[1], d[2], t_in.reshape(shape2))
 
-    t, face, nx, ny, nz, tu, tv, shp = (x.reshape(total)[:n] for x in out)
+    t, face, nx, ny, nz, tu, tv, shp = (x.reshape(total)[:n] for x in out[:8])
     normal = jnp.stack([nx, ny, nz], axis=0)
     uv = jnp.stack([tu, tv], axis=0)
+    if stats:
+        return t, face, normal, uv, shp, out[8][::8, :2]
     return t, face, normal, uv, shp

@@ -78,6 +78,41 @@ def test_scene_json_roundtrip(tmp_path):
                                np.asarray(packed_b.tlas_min), atol=1e-5)
 
 
+def test_reference_schema_fixture():
+    """Load a checked-in scene file written in the reference's exact JSON
+    schema (hand-transcribed per serializer.cpp:330-393: int-tagged
+    entity types, nested Pinhole/ThinLens blocks, CamelCase material
+    fields, index-based asset references) and render it.
+
+    This makes the format-compatibility claim falsifiable: the file was
+    never produced by our own save_scene.
+    """
+    fixture = os.path.join(os.path.dirname(__file__), 'fixtures',
+                           'reference_scene', 'scene.json')
+    scene = load_scene(fixture)
+
+    assert [m.type for m in scene.materials] == [0, 1, 2]
+    names = [e.name for e in scene.root.children]
+    assert names == ['Plane', 'Metal Sphere', 'Glass Cube', 'Camera']
+    cam = scene.root.children[3]
+    assert cam.type == ENTITY_TYPE_CAMERA
+    assert cam.pinhole.field_of_view_in_degrees == 90.0
+    assert cam.thin_lens.focal_length_in_mm == 20.0
+    glass = scene.materials[2]
+    assert glass.ior == 1.5 and glass.abbe_number == 35.0
+
+    # The fixture must compile and produce a finite, non-empty render.
+    from path_tracer_tpu.integrator.resolve import resolve
+    from path_tracer_tpu.integrator.wavefront import RenderConfig, render
+
+    packed = compile_scene(scene)
+    config = RenderConfig(width=64, height=36, sort_rays=False)
+    state = render(packed, config, spp_rounds=8, seed=0)
+    image = np.asarray(resolve(state['accum'], 64, 36, lane=state['lane']))
+    assert np.isfinite(image).all()
+    assert image.max() > 0.0
+
+
 def test_obj_import(tmp_path):
     obj = tmp_path / 'tri.obj'
     obj.write_text('''mtllib tri.mtl
