@@ -1,10 +1,15 @@
 """Benchmark: ray throughput of the wavefront tracer on real hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-the metric is Mrays/s/chip on the flagship mesh scene (the "viking hall"
-stand-in for the Viking room: ~90k triangles, two-level BVH, HDR skybox)
-at 1080p, matching BASELINE.md's target definition. vs_baseline is
-measured against the 200 Mrays/s/chip north star.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
+The headline metric is Mrays/s/chip on the flagship mesh scene (config 3:
+"viking hall", the Viking-room stand-in: 41k triangles, wide BVH, HDR
+skybox) at 1080p, matching BASELINE.md's target definition; vs_baseline
+is against the 200 Mrays/s/chip north star. "configs" carries the full
+BASELINE.json config table (1: Cornell analytic, 2: sphere array with
+thin-lens DoF, 3: viking hall, 4: 360 mixed scene) with Mrays/s,
+samples/s and estimated time-to-64spp each. Config 5 (multi-mesh,
+pod-sharded accumulation) is exercised by __graft_entry__.dryrun_multichip
+on a virtual device mesh, not here (one physical chip).
 
 Every wavefront round traces exactly one ray per pixel lane (occupancy
 is kept full by in-place path regeneration), so rays = lanes * rounds.
@@ -27,23 +32,20 @@ TIMED_ROUNDS = 12
 CHUNK = 2  # rounds per device call (long single calls trip watchdogs)
 
 
-def main():
+def bench_scene(name, scene, camera_model=0, tone=0):
     import jax
     import jax.numpy as jnp
     from path_tracer_tpu import RenderConfig, SceneLayout, compile_scene
-    from path_tracer_tpu.integrator.wavefront import render, reset
-    from path_tracer_tpu.scene.procedural import make_viking_hall_scene
+    from path_tracer_tpu.integrator.wavefront import render
 
     t0 = time.time()
-    scene = make_viking_hall_scene(detail=1)
     packed = compile_scene(scene, aspect_ratio=WIDTH / HEIGHT)
     layout = SceneLayout.from_packed(packed)
     faces = int(packed.face_positions.shape[2])
-    print(f'# scene compiled: {faces} triangles, '
-          f'{int(packed.mesh_node_a.shape[0])} BVH nodes in {time.time()-t0:.1f}s',
+    config = RenderConfig(width=WIDTH, height=HEIGHT,
+                          camera_model=camera_model)
+    print(f'# [{name}] compiled: {faces} tris in {time.time()-t0:.1f}s',
           file=sys.stderr)
-
-    config = RenderConfig(width=WIDTH, height=HEIGHT)
 
     t0 = time.time()
     state = render(packed, config, WARMUP_ROUNDS, seed=0, layout=layout)
@@ -51,29 +53,55 @@ def main():
     # this runtime defers Pallas-program execution until the first
     # readback (block_until_ready returns immediately for deferred work),
     # so timing without a readback would measure nothing.
-    warm = float(jnp.sum(state['accum']['count']))
-    print(f'# compile+warmup ({WARMUP_ROUNDS} rounds): {time.time()-t0:.1f}s, '
-          f'{warm:.0f} samples', file=sys.stderr)
+    warm_count = float(jnp.sum(state['accum']['count']))
+    print(f'# [{name}] compile+warmup ({WARMUP_ROUNDS} rounds): '
+          f'{time.time()-t0:.1f}s', file=sys.stderr)
 
     t0 = time.time()
     for _ in range(TIMED_ROUNDS // CHUNK):
         state = render(packed, config, CHUNK, layout=layout, state=state)
         jax.block_until_ready(state['accum']['xyz'])
     # Force execution of any deferred tail before stopping the clock.
-    float(jnp.sum(state['accum']['count']))
+    count = float(jnp.sum(state['accum']['count']))
     elapsed = time.time() - t0
 
     lanes = WIDTH * HEIGHT
     mrays = lanes * TIMED_ROUNDS / elapsed / 1e6
-    spp = float(jnp.mean(state['accum']['count']))
-    print(f'# {TIMED_ROUNDS} rounds in {elapsed:.2f}s; mean spp so far {spp:.1f}',
-          file=sys.stderr)
+    samples_s = (count - warm_count) / elapsed
+    spp_rate = (count - warm_count) / lanes / elapsed  # spp per second
+    t64 = 64.0 / spp_rate if spp_rate > 0 else float('inf')
+    print(f'# [{name}] {TIMED_ROUNDS} rounds in {elapsed:.2f}s: '
+          f'{mrays:.2f} Mrays/s, {samples_s/1e6:.2f} Msamples/s, '
+          f'time-to-64spp ~{t64:.0f}s', file=sys.stderr)
+    return dict(mrays=round(mrays, 2),
+                samples_per_s=round(samples_s, 0),
+                time_to_64spp_s=round(t64, 1))
 
+
+def main():
+    from path_tracer_tpu.scene.procedural import (
+        make_360_scene,
+        make_cornell_scene,
+        make_sphere_array_scene,
+        make_viking_hall_scene,
+    )
+
+    configs = {}
+    configs['1_cornell'] = bench_scene('1_cornell', make_cornell_scene())
+    configs['2_spheres_dof'] = bench_scene(
+        '2_spheres_dof', make_sphere_array_scene(), camera_model=1)
+    configs['3_viking_hall'] = bench_scene(
+        '3_viking_hall', make_viking_hall_scene(detail=1))
+    configs['4_360_mixed'] = bench_scene(
+        '4_360_mixed', make_360_scene(), camera_model=2)
+
+    headline = configs['3_viking_hall']['mrays']
     print(json.dumps({
         'metric': 'Mrays/s/chip (viking-hall mesh, 1080p, wavefront rounds)',
-        'value': round(mrays, 2),
+        'value': headline,
         'unit': 'Mrays/s',
-        'vs_baseline': round(mrays / NORTH_STAR_MRAYS, 3),
+        'vs_baseline': round(headline / NORTH_STAR_MRAYS, 3),
+        'configs': configs,
     }))
 
 

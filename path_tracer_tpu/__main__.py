@@ -40,7 +40,87 @@ def main(argv=None):
                                          'pano', 'multi'])
     add_render_args(p_demo)
 
+    p_view = sub.add_parser(
+        'view', help='serve an interactive progressive render over HTTP')
+    p_view.add_argument('scene', nargs='?', default=None,
+                        help='scene .json (default: built-in default scene)')
+    p_view.add_argument('--demo', choices=['cornell', 'spheres', 'viking',
+                                           'pano', 'multi'])
+    p_view.add_argument('--width', type=int, default=960)
+    p_view.add_argument('--height', type=int, default=540)
+    p_view.add_argument('--host', default='127.0.0.1')
+    p_view.add_argument('--port', type=int, default=8000)
+
+    p_spec = sub.add_parser(
+        'spectrum', help='plot the uplifted spectrum of an sRGB color')
+    p_spec.add_argument('rgb', type=float, nargs=3, metavar=('R', 'G', 'B'))
+    p_spec.add_argument('--png', help='also write a PNG plot')
+
+    p_dump = sub.add_parser(
+        'bvhdump', help='dump the flattened wide-BVH structure of a scene')
+    p_dump.add_argument('scene', nargs='?', default=None)
+    p_dump.add_argument('--demo', choices=['cornell', 'spheres', 'viking',
+                                           'pano', 'multi'], default='viking')
+    p_dump.add_argument('--depth', type=int, default=3)
+
     args = parser.parse_args(argv)
+
+    if args.command == 'spectrum':
+        from .utils.debug import ascii_plot, plot_spectrum_png, spectrum_report
+
+        report = spectrum_report(args.rgb)
+        print(ascii_plot(report['lambda_nm'], report['reflectance'],
+                         label=f'uplifted spectrum of sRGB {args.rgb}'))
+        print(f'sigmoid-polynomial beta: {report["beta"]}')
+        print(f'observed under D65:      {report["observed_rgb"]} '
+              f'(round-trip error {report["roundtrip_error"]:.4f})')
+        if args.png:
+            plot_spectrum_png(args.rgb, args.png)
+            print(f'wrote {args.png}')
+        return 0
+
+    if args.command == 'bvhdump':
+        from .scene.compile import compile_scene
+        from .utils.debug import bvh_statistics, dump_wide_bvh
+
+        if args.scene:
+            from .scene.serializer import load_scene
+            scene = load_scene(args.scene)
+        else:
+            from .scene import procedural
+            scene = {
+                'cornell': procedural.make_cornell_scene,
+                'spheres': procedural.make_sphere_array_scene,
+                'viking': procedural.make_viking_hall_scene,
+                'pano': procedural.make_360_scene,
+                'multi': procedural.make_multi_mesh_scene,
+            }[args.demo]()
+        packed = compile_scene(scene)
+        print(bvh_statistics(packed))
+        dump_wide_bvh(packed, max_depth=args.depth)
+        return 0
+
+    if args.command == 'view':
+        from .app import Session
+        from .viewer.server import ViewerServer
+
+        if args.scene:
+            from .scene.serializer import load_scene
+            scene = load_scene(args.scene)
+        else:
+            from .scene import procedural
+            maker = {
+                'cornell': procedural.make_cornell_scene,
+                'spheres': procedural.make_sphere_array_scene,
+                'viking': procedural.make_viking_hall_scene,
+                'pano': procedural.make_360_scene,
+                'multi': procedural.make_multi_mesh_scene,
+                None: procedural.make_default_scene,
+            }[args.demo]
+            scene = maker()
+        session = Session(scene, width=args.width, height=args.height)
+        ViewerServer(session, host=args.host, port=args.port).serve_forever()
+        return 0
 
     from . import render_scene
     from .core import constants

@@ -24,7 +24,8 @@ Node row layout (one float32 row of 128 lanes per wide node):
                 (empty child slots get an inverted box +BIG/-BIG)
   lanes 48..55  per-child meta, stored as exact-integer float32:
                 >= 0: wide index of an interior child
-                <  0: -(tri_row * 8 + face_count) for a leaf child
+                <  0: -(tri_row * LEAF_ENC + face_count) for a leaf
+                child of up to LEAF_MAX faces starting at row tri_row
   lane  64      traversal-order axis (0/1/2): children are pre-sorted
                 by centroid along this axis at build time; the kernel
                 picks push direction from the packet's mean direction
@@ -46,10 +47,12 @@ from dataclasses import dataclass
 
 import numpy as np
 
-BIG = 1.0e9            # box-miss sentinel; finite so interval math never NaNs
+BIG = 1.0e9            # box-miss sentinel; finite so slab math never NaNs
 WIDE_WIDTH = 8
 TRI_STRIDE = 32
 TRIS_PER_ROW = 4
+LEAF_MAX = 8           # triangles per leaf (LEAF_MAX/TRIS_PER_ROW rows)
+LEAF_ENC = 32          # leaf meta = -(tri_row * LEAF_ENC + count)
 META_LANE = 48
 AXIS_LANE = 64
 
@@ -80,7 +83,7 @@ def _subtree_face_ranges(a, b):
     return lo, hi
 
 
-def collapse_bvh2(node_min, node_max, a, b, leaf_max=4):
+def collapse_bvh2(node_min, node_max, a, b, leaf_max=LEAF_MAX):
     """Collapse a binary BVH into wide-node records.
 
     Greedy top-down: each wide node starts from one binary subtree root
@@ -175,7 +178,7 @@ def pack_wide(children, axes, node_min, node_max,
                 tri_row = len(face_map) // TRIS_PER_ROW
                 face_map.extend(range(p0, p0 + p1))
                 face_map.extend([-1] * (-len(face_map) % TRIS_PER_ROW))
-                meta = -(tri_row * 8 + p1)
+                meta = -(tri_row * LEAF_ENC + p1)
             else:
                 meta = p0
             lo, hi = node_min[m], node_max[m]
@@ -214,7 +217,7 @@ def pack_wide(children, axes, node_min, node_max,
 
 
 def build_wide_bvh(tri_positions, tri_normals, tri_uvs, tri_shape,
-                   leaf_max=4):
+                   leaf_max=LEAF_MAX):
     """World-space triangles -> packed wide BVH tables.
 
     tri_positions/tri_normals: (F, 3 verts, 3); tri_uvs: (F, 3, 2);

@@ -26,8 +26,8 @@ def load_png(path):
     return arr
 
 
-def save_png(path, image):
-    """Write (H, W, 3|4) float [0,1] image as PNG (pure python)."""
+def encode_png(image, compress_level=6):
+    """Encode (H, W, 3|4) float [0,1] image as PNG bytes (pure python)."""
     arr = np.asarray(image)
     if arr.ndim != 3:
         raise ValueError('expected (H, W, C) image')
@@ -45,10 +45,15 @@ def save_png(path, image):
 
     png = b'\x89PNG\r\n\x1a\n'
     png += chunk(b'IHDR', struct.pack('>IIBBBBB', w, h, 8, 6, 0, 0, 0))
-    png += chunk(b'IDAT', zlib.compress(raw, 6))
+    png += chunk(b'IDAT', zlib.compress(raw, compress_level))
     png += chunk(b'IEND', b'')
+    return png
+
+
+def save_png(path, image):
+    """Write (H, W, 3|4) float [0,1] image as PNG (pure python)."""
     with open(path, 'wb') as f:
-        f.write(png)
+        f.write(encode_png(image))
 
 
 def load_hdr(path):

@@ -51,6 +51,21 @@ _PALETTE = np.asarray([
 ], np.float32)
 
 
+def shape_entities(scene):
+    """Entities in packed-shape-index order (the scene compiler's
+    flattening walk, scene/compile.py): shape index i from a pick/trace
+    corresponds to the i-th entity yielded here."""
+    from ..scene.compile import _ENTITY_TO_SHAPE_TYPE
+    from ..scene.model import ENTITY_TYPE_MESH_INSTANCE
+
+    for entity, _ in scene.walk_entities_with_transform():
+        if entity.type not in _ENTITY_TO_SHAPE_TYPE:
+            continue
+        if entity.type == ENTITY_TYPE_MESH_INSTANCE and entity.mesh is None:
+            continue
+        yield entity
+
+
 def _preview_rays(packed, width, height, camera_world):
     """One centered primary ray per pixel through a simple pinhole
     (preview_render.glsl:98-106: unit sensor at z=-1, aspect-corrected)."""

@@ -63,7 +63,8 @@ def test_wide_bvh_face_map_is_permutation():
             m = meta[w, c]
             if m >= 0:
                 continue
-            row, count = int(-m) // 8, int(-m) % 8
+            row = int(-m) // bvh8.LEAF_ENC
+            count = int(-m) % bvh8.LEAF_ENC
             lo = np.array([wide.nodes[w, 8 * ax + c] for ax in range(3)])
             hi = np.array([wide.nodes[w, 24 + 8 * ax + c] for ax in range(3)])
             for k in range(count):
@@ -73,19 +74,19 @@ def test_wide_bvh_face_map_is_permutation():
                 assert (tri[src] <= hi + 1e-4).all()
 
 
-@pytest.mark.parametrize('mode', ['interval', 'exact'])
-def test_wide_trace_matches_brute_force(mode):
+def test_wide_trace_matches_brute_force():
     rng = np.random.default_rng(0)
     tri, nrm, uv, shp = _random_geometry(rng, 300)
     wide = bvh8.build_wide_bvh(tri, nrm, uv, shp)
-    o, d = _random_rays(rng, 1024)
-    t_in = np.full(1024, 1e5, np.float32)
+    n = trace_wide.INTERLEAVE * 1024  # cover every interleaved packet
+    o, d = _random_rays(rng, n)
+    t_in = np.full(n, 1e5, np.float32)
     bt, bface = _brute_force(tri, o, d, t_in)
 
     t, face, normal, uvr, shpo = trace_wide.wide_trace(
         jnp.asarray(wide.nodes), jnp.asarray(wide.tris),
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_in),
-        node_mode=mode, interpret=True)
+        interpret=True)
     t, face, shpo = np.asarray(t), np.asarray(face), np.asarray(shpo)
 
     np.testing.assert_array_equal(face >= 0, bface >= 0)

@@ -1,10 +1,10 @@
 """On-chip diagnostic for the wide-BVH packet kernel.
 
-Checks (a) hit-set agreement between node modes on real hardware (the
-interpret-mode tests cannot catch Mosaic lowering bugs like the bf16
-matmul truncation), (b) per-packet pop counts to separate "too many
-pops" from "too many cycles per pop", and (c) the effect of
-octant-major vs Morton-major ray sorting on both.
+Checks (a) hit agreement between the packet kernel and the portable
+XLA traversal on real hardware (interpret-mode tests cannot catch
+Mosaic lowering bugs like the bf16 matmul truncation), (b) per-packet
+pop counts to separate "too many pops" from "too many cycles per pop",
+and (c) the effect of octant-major vs Morton-major ray sorting.
 
 Prints a JSON summary to stdout, commentary to stderr.
 """
@@ -24,12 +24,15 @@ def main():
     import numpy as np
     from path_tracer_tpu import SceneLayout, compile_scene
     from path_tracer_tpu.ops import trace_wide
+    from path_tracer_tpu.ops.intersect import trace
     from path_tracer_tpu.scene.procedural import make_viking_hall_scene
 
     scene = make_viking_hall_scene(detail=1)
     packed = compile_scene(scene, aspect_ratio=16 / 9)
+    layout = SceneLayout.from_packed(packed)
     w_nodes, w_tris = packed.wide_nodes, packed.wide_tris
-    print(f'# nodes {w_nodes.shape} tris {w_tris.shape}', file=sys.stderr)
+    print(f'# nodes {w_nodes.shape} tris {w_tris.shape} '
+          f'interleave={trace_wide.INTERLEAVE}', file=sys.stderr)
 
     n = 1920 * 1080
     rng = np.random.default_rng(0)
@@ -64,55 +67,57 @@ def main():
     t_in = jnp.full((n,), 1e5, jnp.float32)
     results = {}
 
-    def run(tag, oo, dd, mode):
+    def run(tag, oo, dd, interleave):
         oo_j, dd_j = jnp.asarray(oo), jnp.asarray(dd)
         out = trace_wide.wide_trace(w_nodes, w_tris, oo_j, dd_j, t_in,
-                                    node_mode=mode, stats=True)
+                                    stats=True, interleave=interleave)
         st = np.asarray(out[5])
         hits = int(jnp.sum(out[1] >= 0))
-        tsum = float(jnp.sum(jnp.where(out[1] >= 0, out[0], 0.0)))
-        # timed reps without stats
+        # Warm the timed (stats-free) program before timing.
+        r = trace_wide.wide_trace(w_nodes, w_tris, oo_j, dd_j, t_in,
+                                  interleave=interleave)
+        float(jnp.sum(r[0]))
         t0 = time.time()
         reps = 2
         for _ in range(reps):
             r = trace_wide.wide_trace(w_nodes, w_tris, oo_j, dd_j, t_in,
-                                      node_mode=mode)
+                                      interleave=interleave)
             float(jnp.sum(r[0]))
         dt = (time.time() - t0) / reps
         mrays = n / dt / 1e6
         pops = st[:, 0] + st[:, 1]
+        iters = st[:, 2]
         results[tag] = dict(
-            mrays=round(mrays, 2), hits=hits, tsum=round(tsum, 1),
+            mrays=round(mrays, 2), hits=hits,
             interior=int(st[:, 0].sum()), leaf=int(st[:, 1].sum()),
-            pops_mean=round(float(pops.mean()), 1),
-            pops_max=int(pops.max()),
+            iters=int(iters.sum()),
             cyc_per_pop=round(940e6 * dt / max(pops.sum(), 1), 1),
+            cyc_per_iter=round(940e6 * dt / max(iters.sum(), 1), 1),
         )
-        print(f'# {tag:28s}: {mrays:7.2f} Mrays/s hits={hits} '
-              f'pops mean={pops.mean():.0f} max={pops.max()} '
-              f'cyc/pop={results[tag]["cyc_per_pop"]}', file=sys.stderr)
+        print(f'# {tag:24s}: {mrays:7.2f} Mrays/s hits={hits} '
+              f'pops={pops.sum()} iters={iters.sum()} '
+              f'cyc/pop={results[tag]["cyc_per_pop"]} '
+              f'cyc/iter={results[tag]["cyc_per_iter"]}', file=sys.stderr)
 
     for name, oo, dd in (('primary', o, d), ('bounce', ob, db)):
         m, oct_ = morton_key(oo, dd)
-        order_m = np.argsort((m << 3) | oct_, kind='stable')
         order_o = np.argsort((oct_ << 15) | m, kind='stable')
-        for sort_name, order in (('morton', order_m), ('octant', order_o)):
-            for mode in ('exact', 'interval'):
-                run(f'{mode}_{name}_{sort_name}', oo[:, order], dd[:, order],
-                    mode)
+        for il in (1, 2, 4, 8):
+            run(f'{name}_octant_il{il}', oo[:, order_o], dd[:, order_o], il)
 
-    # hit-set agreement between modes (same sorted rays).
+    # Agreement with the portable XLA traversal on a small ray set
+    # (the portable path gathers per lane -- slow, so keep it small).
+    ns = 16 * 1024
     m, oct_ = morton_key(ob, db)
-    order = np.argsort((oct_ << 15) | m, kind='stable')
+    order = np.argsort((oct_ << 15) | m, kind='stable')[:ns]
     oo, dd = jnp.asarray(ob[:, order]), jnp.asarray(db[:, order])
-    te = trace_wide.wide_trace(w_nodes, w_tris, oo, dd, t_in, node_mode='exact')
-    ti = trace_wide.wide_trace(w_nodes, w_tris, oo, dd, t_in,
-                               node_mode='interval')
-    agree_face = int(jnp.sum(te[1] == ti[1]))
-    agree_t = float(jnp.max(jnp.abs(te[0] - ti[0])))
-    results['agreement'] = dict(same_face=agree_face, of=n,
-                                max_dt=round(agree_t, 6))
-    print(f'# mode agreement: {agree_face}/{n} faces, max |dt|={agree_t}',
+    hp = trace(packed, layout, oo, dd, use_packet=True)
+    hq = trace(packed, layout, oo, dd, use_packet=False)
+    same = int(jnp.sum(hp['shape'] == hq['shape']))
+    max_dt = float(jnp.max(jnp.abs(hp['time'] - hq['time'])))
+    results['portable_agreement'] = dict(same_shape=same, of=ns,
+                                         max_dt=round(max_dt, 6))
+    print(f'# packet vs portable: {same}/{ns} shapes, max |dt|={max_dt}',
           file=sys.stderr)
 
     print(json.dumps(results))

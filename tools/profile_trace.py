@@ -63,20 +63,20 @@ def main():
 
     t_in = jnp.full((n,), 1e5, jnp.float32)
     results = {}
-    for mode in ('interval', 'exact'):
+    for mode in ("exact",):
         for name, oo, dd in (('primary', o, d), ('bounce', ob, db)):
             oo = jnp.asarray(oo)
             dd = jnp.asarray(dd)
             t0 = time.time()
             out = trace_wide.wide_trace(w_nodes, w_tris, oo, dd, t_in,
-                                        node_mode=mode)
+                                        )
             hits = readback(out[1] >= 0)
             compile_s = time.time() - t0
             t0 = time.time()
             reps = 3
             for _ in range(reps):
                 out = trace_wide.wide_trace(w_nodes, w_tris, oo, dd, t_in,
-                                            node_mode=mode)
+                                            )
                 readback(out[0])
             dt = (time.time() - t0) / reps
             mrays = n / dt / 1e6
