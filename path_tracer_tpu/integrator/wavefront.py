@@ -115,6 +115,15 @@ class RenderConfig:
     sort_rays: bool = True
 
 
+def wants_sort(config: RenderConfig, layout) -> bool:
+    """The per-round coherence sort only pays for itself when the packet
+    trace kernel actually runs (mesh scenes whose tables fit VMEM);
+    analytic-only scenes are traced as order-independent broadcast
+    batches where sorting is ~130 ms/round of pure overhead."""
+    return bool(config.sort_rays and layout is not None
+                and layout.mesh_instances and layout.wide_fit)
+
+
 def reset(packed, config: RenderConfig, seed, lane=None):
     """ResetBasicRenderer: fresh paths + camera rays + cleared accumulator.
 
@@ -216,7 +225,7 @@ def render(packed, config: RenderConfig, spp_rounds, seed=0,
     if state is None:
         state = reset(packed, config, seed)
     term = jnp.float32(termination_probability)
-    if config.sort_rays:
+    if wants_sort(config, layout):
         for _ in range(int(spp_rounds)):
             state = _sort_jit(packed, state)
             state = _render_jit(packed, layout, config, state, term, 1)

@@ -29,7 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core.sampling import Rng
-from ..integrator.wavefront import RenderConfig, render_rounds, reset
+from ..integrator.wavefront import (
+    RenderConfig, render_rounds, reset, wants_sort)
 from ..ops.intersect import SceneLayout
 
 
@@ -82,7 +83,7 @@ def render_sharded(packed, config: RenderConfig, rounds, mesh: Mesh,
         # below re-aligns by lane id anyway).
         state = render_rounds(packed_rep, layout, config, state,
                               jnp.float32(termination_probability), rounds,
-                              sort_each_round=config.sort_rays)
+                              sort_each_round=wants_sort(config, layout))
         # Batch rows sort identically (same lanes, same seeds per row?
         # no -- rows have different streams), so slots can differ per
         # row; psum merging therefore requires slot-aligned lanes.

@@ -66,6 +66,78 @@ class WideBvh:
     num_leaves: int
 
 
+# --- Transposed (triangle-on-sublane) leaf layout for the v4 kernel -----
+#
+# The v4 kernel (ops/trace_wide_t.py) traces 128-ray sub-packets with
+# triangles riding the SUBLANE axis: one (8, 128) op tests all 8 leaf
+# triangles against all 128 rays. That needs leaf data laid out so the
+# outer-product redistribution (lane i -> broadcast row i) yields
+# (8, 128) tiles whose row k is triangle k's constant. Two rows per
+# leaf:
+#
+# Geometry row (lanes, 8 consecutive lanes per field, one per tri):
+#    0..23  p0.xyz      24..47 e1.xyz (p1-p0)    48..71 e2.xyz (p2-p0)
+#   72..79  shape index 80..87 face slot (index into face_map)
+# Attribute row:
+#    0..71  n0.xyz n1.xyz n2.xyz   72..119 uv0.uv uv1.uv uv2.uv
+#
+# Leaf meta in the transposed nodes table encodes the ROW PAIR:
+# -(pair_index * LEAF_ENC + count); geometry row = 2*pair_index.
+GEOM_P0, GEOM_E1, GEOM_E2, GEOM_SHAPE, GEOM_FACE = 0, 24, 48, 72, 80
+ATTR_N0, ATTR_N1, ATTR_N2, ATTR_UV = 0, 24, 48, 72
+
+
+def transpose_wide(wide: 'WideBvh',
+                   tri_positions, tri_normals, tri_uvs, tri_shape):
+    """Derive the v4 (transposed-leaf) tables from a packed WideBvh.
+
+    tri_* are in the CALLER's face order (wide.face_map indexes it).
+    Returns (nodes_t, tris_t): nodes_t is wide.nodes with leaf metas
+    re-encoded for the two-row-per-leaf table; tris_t is (2*L, 128).
+    """
+    tri_positions = np.asarray(tri_positions, np.float32)
+    tri_normals = np.asarray(tri_normals, np.float32)
+    tri_uvs = np.asarray(tri_uvs, np.float32)
+    tri_shape = np.asarray(tri_shape, np.float32)
+
+    nodes_t = wide.nodes.copy()
+    metas = nodes_t[:, META_LANE:META_LANE + WIDE_WIDTH]
+    leaf_mask = metas < 0.0
+    u = -metas[leaf_mask]
+    old_rows = (u // LEAF_ENC).astype(np.int64)
+    counts = (u % LEAF_ENC).astype(np.int64)
+
+    pairs = len(old_rows)
+    tris_t = np.zeros((max(2 * pairs, 2), 128), np.float32)
+    new_metas = np.empty(pairs, np.float32)
+    for pair, (row, count) in enumerate(zip(old_rows, counts)):
+        g = tris_t[2 * pair]
+        a = tris_t[2 * pair + 1]
+        for k in range(count):
+            slot = row * TRIS_PER_ROW + k
+            src = wide.face_map[slot]
+            if src < 0:
+                continue
+            p0, p1, p2 = tri_positions[src]
+            g[GEOM_P0 + k:GEOM_P0 + 24:8] = p0
+            g[GEOM_E1 + k:GEOM_E1 + 24:8] = p1 - p0
+            g[GEOM_E2 + k:GEOM_E2 + 24:8] = p2 - p0
+            g[GEOM_SHAPE + k] = tri_shape[src]
+            g[GEOM_FACE + k] = np.float32(slot)
+            n0, n1, n2 = tri_normals[src]
+            a[ATTR_N0 + k:ATTR_N0 + 24:8] = n0
+            a[ATTR_N1 + k:ATTR_N1 + 24:8] = n1
+            a[ATTR_N2 + k:ATTR_N2 + 24:8] = n2
+            for v in range(3):
+                a[ATTR_UV + 16 * v + k] = tri_uvs[src, v, 0]
+                a[ATTR_UV + 16 * v + 8 + k] = tri_uvs[src, v, 1]
+        new_metas[pair] = np.float32(-(pair * LEAF_ENC + count))
+
+    metas[leaf_mask] = new_metas
+    nodes_t[:, META_LANE:META_LANE + WIDE_WIDTH] = metas
+    return nodes_t, tris_t
+
+
 def _subtree_face_ranges(a, b):
     """Per-node (face_lo, face_hi) of the contiguous face range each
     subtree spans. Children are allocated after their parent by both

@@ -1,0 +1,131 @@
+"""Per-stage breakdown of one wavefront round on real TPU hardware.
+
+Times sort / trace / scatter(+respawn) separately, plus the fused full
+round, for a set of scenes (default: cornell = the analytic floor, and
+viking hall = the flagship mesh scene). This is the tool that says
+where the next millisecond must come from.
+
+Runtime rules (see memory/tpu-runtime-rules): one python process at a
+time on the axon tunnel; every timed region must end with a device->
+host READBACK (not block_until_ready) because the runtime defers
+Pallas execution until the first readback.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
+
+WIDTH, HEIGHT = 1920, 1080
+REPS = 6
+
+
+def timed(label, fn, *args, **kwargs):
+    """Run fn REPS times, forcing execution with a readback; return s/iter."""
+    import jax.numpy as jnp
+
+    out = fn(*args, **kwargs)  # compile + warm
+    leaves = [x for x in __import__('jax').tree_util.tree_leaves(out)
+              if hasattr(x, 'dtype')]
+    float(jnp.sum(leaves[0].astype(jnp.float32)))
+    t0 = time.time()
+    for _ in range(REPS):
+        out = fn(*args, **kwargs)
+        float(jnp.sum(leaves[0].astype(jnp.float32)))
+        leaves = [x for x in __import__('jax').tree_util.tree_leaves(out)
+                  if hasattr(x, 'dtype')]
+    dt = (time.time() - t0) / REPS
+    print(f'#   {label:26s} {dt*1e3:8.1f} ms', file=sys.stderr)
+    return dt
+
+
+def profile_scene(name, scene, camera_model=0):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from path_tracer_tpu import RenderConfig, SceneLayout, compile_scene
+    from path_tracer_tpu.core.sampling import Rng
+    from path_tracer_tpu.integrator import wavefront as wf
+    from path_tracer_tpu.integrator.scatter import scatter
+    from path_tracer_tpu.integrator.state import merge_paths, new_paths
+    from path_tracer_tpu.ops.intersect import trace
+
+    t0 = time.time()
+    packed = compile_scene(scene, aspect_ratio=WIDTH / HEIGHT)
+    layout = SceneLayout.from_packed(packed)
+    config = RenderConfig(width=WIDTH, height=HEIGHT,
+                          camera_model=camera_model)
+    print(f'# [{name}] compiled in {time.time()-t0:.1f}s: '
+          f'{int(packed.face_positions.shape[2])} tris', file=sys.stderr)
+
+    # Warm state: run a few rounds so ray/state distribution is realistic.
+    state = wf.render(packed, config, 4, seed=0, layout=layout)
+    float(jnp.sum(state['accum']['count']))
+
+    res = {}
+    res['sort'] = timed('sort (argsort+row gather)', wf._sort_jit,
+                        packed, state)
+
+    trace_jit = jax.jit(partial(trace, layout=layout))
+    res['trace'] = timed(
+        'trace', lambda: trace_jit(packed, origin=state['origin'],
+                                   direction=state['direction']))
+
+    hit = trace_jit(packed, origin=state['origin'],
+                    direction=state['direction'])
+
+    @jax.jit
+    def scatter_respawn(path, origin, direction, hit, rng_state, lane, accum):
+        rng = Rng(rng_state)
+        term = jnp.float32(0.05)
+        path, origin, direction, alive = scatter(
+            packed, path, origin, direction, hit, rng, term, layout)
+        dead = ~alive
+        xyz = accum['xyz'] + jnp.where(dead, path['sample'], 0.0)
+        count = accum['count'] + dead.astype(jnp.float32)
+        fresh, co, cd = new_paths(packed, config.camera_index,
+                                  config.camera_model, config.width,
+                                  config.height, rng, config.flags, lane)
+        path = merge_paths(path, fresh, dead)
+        origin = jnp.where(dead, co, origin)
+        direction = jnp.where(dead, cd, direction)
+        return path, origin, direction, dict(xyz=xyz, count=count)
+
+    res['scatter'] = timed(
+        'scatter+respawn',
+        lambda: scatter_respawn(state['path'], state['origin'],
+                                state['direction'], hit,
+                                state['rng_state'], state['lane'],
+                                state['accum']))
+
+    res['round_fused'] = timed(
+        'full round (render_jit)', wf._render_jit, packed, layout, config,
+        state, jnp.float32(0.05), 1)
+    res['round_total'] = res['sort'] + res['round_fused']
+    lanes = WIDTH * HEIGHT
+    res['mrays'] = round(lanes / res['round_total'] / 1e6, 2)
+    print(f'# [{name}] round total {res["round_total"]*1e3:.1f} ms '
+          f'-> {res["mrays"]} Mrays/s', file=sys.stderr)
+    return {k: (round(v * 1e3, 1) if k != 'mrays' else v)
+            for k, v in res.items()}
+
+
+def main():
+    from path_tracer_tpu.scene.procedural import (
+        make_cornell_scene, make_viking_hall_scene)
+
+    names = sys.argv[1:] or ['cornell', 'viking']
+    out = {}
+    if 'cornell' in names:
+        out['cornell'] = profile_scene('cornell', make_cornell_scene())
+    if 'viking' in names:
+        out['viking'] = profile_scene('viking',
+                                      make_viking_hall_scene(detail=1))
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()
