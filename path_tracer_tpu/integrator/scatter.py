@@ -67,7 +67,7 @@ def fetch_medium(packed, shape_index, lam, types=()):
 
 
 def sample_skybox_radiance(packed, direction, lam, has_texture=True,
-                           atlas_size=8):
+                           atlas_size=8, filter_modes=(True, True)):
     """SampleSkyboxRadiance (scene.glsl.inc:209-229): equirect lookup of
     parametric emission spectrum, or the default (0,0,100,1) spectrum.
     direction: (3, N), lam: (4, N) -> (4, N). `has_texture` is static:
@@ -82,7 +82,8 @@ def sample_skybox_radiance(packed, direction, lam, has_texture=True,
     theta = jnp.arcsin(jnp.clip(direction[2], -1.0, 1.0))
     uv = jnp.stack([0.5 + phi / TAU, 0.5 + theta / PI], axis=0)
     idx = jnp.broadcast_to(packed.skybox_texture_index, (n,))
-    spectrum = sample_texture(packed, idx, uv, atlas_size)  # (4, N)
+    spectrum = sample_texture(packed, idx, uv, atlas_size,
+                              filter_modes)  # (4, N)
     return (sample_parametric_spectrum_scaled(spectrum, lam)
             * packed.skybox_brightness)
 
@@ -141,6 +142,8 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     textured = layout.materials_textured if layout is not None else True
     atlas_size = layout.atlas_size if layout is not None else 8
     types = layout.material_types if layout is not None else ()
+    filters = (layout.texture_filter_modes if layout is not None
+               else (True, True))
     lam = hero_wavelength_cluster(state['lambda0'])  # (4, N)
 
     active_shapes = state['active_shapes']           # (LIMIT, N)
@@ -180,7 +183,8 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
 
     # --- skybox emission (basic_scatter.glsl:165-172) ----------------------
     emission = sample_skybox_radiance(packed, ray_direction, lam,
-                                      has_sky_tex, atlas_size)  # (4, N)
+                                      has_sky_tex, atlas_size,
+                                      filters)  # (4, N)
     cluster_pdf = jnp.maximum(sum4(probability), 1e-20)
     observer = sample_standard_observer(lam)  # (3, 4, N)
     weighted = emission * throughput          # (4, N)
@@ -210,7 +214,7 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     exterior_ior = jnp.where(is_real, exterior_ior, 1.0)
 
     ctx = fetch_ctx(packed, hit['material'], lam, hit['uv'], exterior_ior,
-                    textured, atlas_size, types)
+                    textured, atlas_size, types, filters)
 
     # Surface emission (OpenPBR area lights): accumulate on real exterior
     # hits before the BSDF extends the path. The reference packs emission

@@ -17,21 +17,29 @@ from ..core.spectrum import sample_parametric_spectrum
 from ..core.vec import take_1d
 
 
-def sample_texture(packed, texture_index, uv, atlas_size):
+def sample_texture(packed, texture_index, uv, atlas_size,
+                   filter_modes=(True, True)):
     """Sample the texture atlas (scene.glsl.inc:181-205).
 
     texture_index: (N,) int32 (TEXTURE_INDEX_NONE allowed -- result is
     garbage for those lanes; callers mask). uv: (2, N); atlas_size is
     the static layer edge length. Returns (4, N). Applies per-texture
     placement with wrap, then nearest or bilinear filtering by flag.
-    Each tap is ONE row-gather of the (texels, 4) atlas (per-index cost
-    dominates TPU gathers; rows amortize the 4 channels).
+
+    Gathers cost per lane-index on TPU, so: the per-texture metadata
+    (placement, layer, flags) comes from ONE (T, 8) row-gather instead
+    of six scalar-column gathers, each atlas tap is one row-gather of
+    the (texels, 4) atlas, and `filter_modes` (static
+    (has_bilinear, has_nearest) from SceneLayout) skips the 4-tap
+    bilinear or the 1-tap nearest path entirely when no texture in the
+    scene uses it.
     """
     safe_idx = jnp.where(texture_index == TEXTURE_INDEX_NONE, 0, texture_index)
-    pmin = _col(packed.texture_placement_min, safe_idx)  # (2, N)
-    pmax = _col(packed.texture_placement_max, safe_idx)
-    layer = take_1d(packed.texture_layer, safe_idx)
-    flags = take_1d(packed.texture_flags, safe_idx)
+    meta = jnp.take(packed.texture_meta, safe_idx, axis=0).T  # (8, N)
+    pmin = meta[0:2]
+    pmax = meta[2:4]
+    layer = meta[4].astype(jnp.int32)
+    flags = meta[5].astype(jnp.int32)
 
     frac_uv = uv - jnp.floor(uv)
     u = pmin[0] + (pmax[0] - pmin[0]) * frac_uv[0]
@@ -50,28 +58,35 @@ def sample_texture(packed, texture_index, uv, atlas_size):
         idx = (layer * size + py) * size + px
         return jnp.take(rows, idx, axis=0).T  # (4, N)
 
-    # Bilinear.
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    c00 = fetch(x0, y0)
-    c10 = fetch(x0 + 1, y0)
-    c01 = fetch(x0, y0 + 1)
-    c11 = fetch(x0 + 1, y0 + 1)
-    linear = (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
+    has_bilinear, has_nearest = filter_modes
 
-    # Nearest.
-    xn = jnp.round(x).astype(jnp.int32)
-    yn = jnp.round(y).astype(jnp.int32)
-    nearest = fetch(xn, yn)
+    linear = nearest = None
+    if has_bilinear:
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = x - x0
+        fy = y - y0
+        c00 = fetch(x0, y0)
+        c10 = fetch(x0 + 1, y0)
+        c01 = fetch(x0, y0 + 1)
+        c11 = fetch(x0 + 1, y0 + 1)
+        linear = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+                  + (c01 * (1 - fx) + c11 * fx) * fy)
+    if has_nearest:
+        xn = jnp.round(x).astype(jnp.int32)
+        yn = jnp.round(y).astype(jnp.int32)
+        nearest = fetch(xn, yn)
 
+    if not has_nearest:
+        return linear
+    if not has_bilinear:
+        return nearest
     use_nearest = (flags & TEXTURE_FLAG_FILTER_NEAREST) != 0
     return jnp.where(use_nearest, nearest, linear)
 
 
 def texturable_reflectance(packed, beta, texture_index, lam, uv, textured,
-                           atlas_size):
+                           atlas_size, filter_modes=(True, True)):
     """Spectral reflectance of a texturable color attribute
     (scene.glsl.inc:276-290). beta: (3, N), lam: (4, N) -> (4, N).
     `textured` is a static flag: untextured scenes skip the taps."""
@@ -79,17 +94,20 @@ def texturable_reflectance(packed, beta, texture_index, lam, uv, textured,
     if not textured:
         return value
     has_texture = texture_index != TEXTURE_INDEX_NONE
-    tex_beta = sample_texture(packed, texture_index, uv, atlas_size)[:3]
+    tex_beta = sample_texture(packed, texture_index, uv, atlas_size,
+                              filter_modes)[:3]
     tex_value = sample_parametric_spectrum(tex_beta, lam)
     return jnp.where(has_texture, value * tex_value, value)
 
 
-def texturable_value(packed, value, texture_index, uv, textured, atlas_size):
+def texturable_value(packed, value, texture_index, uv, textured, atlas_size,
+                     filter_modes=(True, True)):
     """Scalar texturable attribute (scene.glsl.inc:292-302)."""
     if not textured:
         return value
     has_texture = texture_index != TEXTURE_INDEX_NONE
-    tex = sample_texture(packed, texture_index, uv, atlas_size)[0]
+    tex = sample_texture(packed, texture_index, uv, atlas_size,
+                         filter_modes)[0]
     return jnp.where(has_texture, value * tex, value)
 
 
@@ -146,7 +164,8 @@ def fetch_medium_ctx(packed, material_index, lam, types=()):
 
 
 def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
-              textured=True, atlas_size=8, types=()):
+              textured=True, atlas_size=8, types=(),
+              filter_modes=(True, True)):
     """Gather every material attribute for the given lanes.
 
     material_index: (N,) int32 slots into the MaterialTable. Returns a
@@ -166,19 +185,20 @@ def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
         exterior_ior=exterior_ior,
         base_reflectance=texturable_reflectance(
             packed, _col(m.base_spectrum, i), _col(m.base_texture, i), lam, uv,
-            textured, atlas_size),
+            textured, atlas_size, filter_modes),
     )
     if has_metal or has_pbr:
         ctx['specular_reflectance'] = texturable_reflectance(
             packed, _col(m.specular_spectrum, i), _col(m.specular_texture, i),
-            lam, uv, textured, atlas_size)
+            lam, uv, textured, atlas_size, filter_modes)
     if has_metal or has_trans or has_pbr:
         ctx['roughness'] = texturable_value(
             packed, _col(m.roughness, i), _col(m.roughness_texture, i), uv,
-            textured, atlas_size)
+            textured, atlas_size, filter_modes)
         ctx['roughness_anisotropy'] = texturable_value(
             packed, _col(m.roughness_anisotropy, i),
-            _col(m.roughness_anisotropy_texture, i), uv, textured, atlas_size)
+            _col(m.roughness_anisotropy_texture, i), uv, textured,
+            atlas_size, filter_modes)
     if has_trans:
         ctx.update(
             ior=_col(m.ior, i),

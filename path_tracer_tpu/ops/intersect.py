@@ -79,6 +79,9 @@ class SceneLayout:
     has_skybox_texture: bool = False
     materials_textured: bool = False
     atlas_size: int = 8
+    # (has_bilinear, has_nearest): which filter paths any texture in the
+    # scene actually uses; sample_texture skips the other entirely.
+    texture_filter_modes: Tuple[bool, bool] = (True, True)
     # Whether the flattened wide-BVH tables fit the packet kernel's
     # VMEM budget (decided from array *shapes* only -- no readbacks).
     wide_fit: bool = False
@@ -107,7 +110,7 @@ class SceneLayout:
                         m.roughness_anisotropy_texture, m.emission_texture)
         textured = any(bool((np.asarray(c) != TEXTURE_INDEX_NONE).any())
                        for c in texture_cols)
-        from . import trace_wide
+        from . import trace_packet
         mat_types = np.asarray(m.type)
         referenced = mat_types[np.asarray(packed.shape_material)]
         return SceneLayout(
@@ -115,8 +118,10 @@ class SceneLayout:
             has_skybox_texture=int(packed.skybox_texture_index) != TEXTURE_INDEX_NONE,
             materials_textured=textured,
             atlas_size=int(packed.atlas_size),
-            wide_fit=trace_wide.tables_fit_vmem(packed.wide_nodes,
-                                                packed.wide_tris),
+            texture_filter_modes=_filter_modes_from_flags(
+                np.asarray(packed.texture_flags)),
+            wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
+                                                  packed.wide_tris_g),
             material_types=tuple(sorted(int(t) for t in set(referenced))),
         )
 
@@ -127,7 +132,7 @@ def build_layout_host(scene, packed):
     from ..core.constants import MATERIAL_TYPE_OPENPBR
     from ..scene.compile import _ENTITY_TO_SHAPE_TYPE
     from ..scene.model import ENTITY_TYPE_MESH_INSTANCE
-    from . import trace_wide
+    from . import trace_packet
 
     analytic, meshes = [], []
     mat_types = set()
@@ -157,10 +162,27 @@ def build_layout_host(scene, packed):
         has_skybox_texture=scene.root.skybox_texture is not None,
         materials_textured=textured,
         atlas_size=_host_atlas_size(scene),
-        wide_fit=trace_wide.tables_fit_vmem(packed.wide_nodes,
-                                            packed.wide_tris),
+        texture_filter_modes=_filter_modes(
+            [t.enable_nearest_filtering for t in scene.textures
+             if t.pixels is not None]),
+        wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
+                                              packed.wide_tris_g),
         material_types=tuple(sorted(mat_types)),
     )
+
+
+def _filter_modes(nearest_flags):
+    """(has_bilinear, has_nearest) from per-texture nearest booleans;
+    defaults to bilinear-only when the scene has no textures."""
+    if not nearest_flags:
+        return (True, False)
+    return (any(not f for f in nearest_flags), any(nearest_flags))
+
+
+def _filter_modes_from_flags(flags):
+    from ..core.constants import TEXTURE_FLAG_FILTER_NEAREST
+    return _filter_modes([bool(f & TEXTURE_FLAG_FILTER_NEAREST)
+                          for f in flags.tolist()])
 
 
 def _host_atlas_size(scene):
@@ -599,7 +621,7 @@ def trace(packed, layout: SceneLayout, origin, direction,
     portable XLA per-lane traversal is the fallback (and the CPU/test
     path).
     """
-    from . import trace_wide
+    from . import trace_packet
 
     n = origin.shape[1]
     if use_packet is None:
@@ -609,15 +631,21 @@ def trace(packed, layout: SceneLayout, origin, direction,
     hit = intersect_analytic(packed, layout, origin, direction, hit)
 
     if layout.mesh_instances and use_packet:
-        t, face, normal, uv, shp = trace_wide.wide_trace(
-            packed.wide_nodes, packed.wide_tris, origin, direction,
+        t, face, fu, fv, shp = trace_packet.wide_trace5(
+            packed.wide_nodes_g, packed.wide_tris_g, origin, direction,
             hit['time'], interpret=interpret)
         improved = face >= 0
+        normal, uv = trace_packet.resolve_wide_attributes(
+            packed.wide_attrs, face, fu, fv)
         hit = dict(
             time=jnp.where(improved, t, hit['time']),
             shape=jnp.where(improved, shp, hit['shape']),
             shape_type=jnp.where(improved, SHAPE_TYPE_MESH_INSTANCE,
                                  hit['shape_type']),
+            # Face SLOT into the wide tables (host code can translate
+            # through packed.wide_face_map for display); a per-lane
+            # gather to the mesh face id here would cost ~23 ms/trace
+            # for a debug-only field.
             primitive=jnp.where(improved, face, hit['primitive']),
             coords=hit['coords'],
             complexity=hit['complexity'],

@@ -87,6 +87,73 @@ GEOM_P0, GEOM_E1, GEOM_E2, GEOM_SHAPE, GEOM_FACE = 0, 24, 48, 72, 80
 ATTR_N0, ATTR_N1, ATTR_N2, ATTR_UV = 0, 24, 48, 72
 
 
+# --- Geometry-only leaf layout for the v5 kernel ------------------------
+#
+# Measured on-chip (tools/exp_pop_cost.py): the dominant per-pop cost is
+# the lane->broadcast redistribution, so the v5 kernel (a) redistributes
+# with static single-lane splats instead of the K=1 contraction and
+# (b) keeps only what Moller-Trumbore needs in the hot table -- one
+# 128-lane row holds a whole 8-triangle leaf (16-lane stride per tri:
+# p0.xyz e1.xyz e2.xyz shape), one fetch per leaf pop. Vertex
+# attributes (normals, uvs) move to a cold (slots, 16) side table in
+# HBM, gathered ONCE per trace for the winning faces instead of being
+# redistributed on every leaf pop:
+#   [n0.xyz n1.xyz n2.xyz uv0.uv uv1.uv uv2.uv pad] per face slot.
+GEOM5_STRIDE = 16
+ATTR5_WIDTH = 16
+
+
+def pack_wide_geom(wide: 'WideBvh',
+                   tri_positions, tri_normals, tri_uvs, tri_shape):
+    """Derive the v5 tables from a packed WideBvh.
+
+    tri_* are in the CALLER's face order (wide.face_map indexes it).
+    Returns (nodes_g, tris_g, attrs, face_map_g):
+      nodes_g  (W, 128)  wide.nodes with leaf metas re-encoded
+      tris_g   (L, 128)  one geometry row per leaf
+      attrs    (L*8, 16) per-face-slot attribute rows (HBM side table)
+      face_map_g (L*8,)  face slot -> caller face index (-1 padding)
+    """
+    tri_positions = np.asarray(tri_positions, np.float32)
+    tri_normals = np.asarray(tri_normals, np.float32)
+    tri_uvs = np.asarray(tri_uvs, np.float32)
+    tri_shape = np.asarray(tri_shape, np.float32)
+
+    nodes_g = wide.nodes.copy()
+    metas = nodes_g[:, META_LANE:META_LANE + WIDE_WIDTH]
+    leaf_mask = metas < 0.0
+    u = -metas[leaf_mask]
+    old_rows = (u // LEAF_ENC).astype(np.int64)
+    counts = (u % LEAF_ENC).astype(np.int64)
+
+    leaves = len(old_rows)
+    tris_g = np.zeros((max(leaves, 1), 128), np.float32)
+    attrs = np.zeros((max(leaves, 1) * 8, ATTR5_WIDTH), np.float32)
+    face_map_g = np.full(max(leaves, 1) * 8, -1, np.int64)
+    new_metas = np.empty(leaves, np.float32)
+    for leaf, (row, count) in enumerate(zip(old_rows, counts)):
+        g = tris_g[leaf]
+        for k in range(count):
+            src = wide.face_map[row * TRIS_PER_ROW + k]
+            if src < 0:
+                continue
+            b = GEOM5_STRIDE * k
+            p0, p1, p2 = tri_positions[src]
+            g[b:b + 3] = p0
+            g[b + 3:b + 6] = p1 - p0
+            g[b + 6:b + 9] = p2 - p0
+            g[b + 9] = tri_shape[src]
+            slot = leaf * 8 + k
+            attrs[slot, 0:9] = tri_normals[src].reshape(9)
+            attrs[slot, 9:15] = tri_uvs[src].reshape(6)
+            face_map_g[slot] = src
+        new_metas[leaf] = np.float32(-(leaf * LEAF_ENC + count))
+
+    metas[leaf_mask] = new_metas
+    nodes_g[:, META_LANE:META_LANE + WIDE_WIDTH] = metas
+    return nodes_g, tris_g, attrs, face_map_g.astype(np.int32)
+
+
 def transpose_wide(wide: 'WideBvh',
                    tri_positions, tri_normals, tri_uvs, tri_shape):
     """Derive the v4 (transposed-leaf) tables from a packed WideBvh.

@@ -159,6 +159,14 @@ class PackedScene:
     # world-space vertex attributes + shape index.
     wide_nodes: Any             # (W, 128) float32
     wide_tris: Any              # (R, 128) float32
+    # v5 kernel tables (ops/trace_packet.py): same nodes with leaf
+    # metas re-encoded for one geometry-only row per leaf, plus the
+    # cold per-face-slot attribute side table (HBM; gathered once per
+    # trace, never touched by the kernel).
+    wide_nodes_g: Any           # (W, 128) float32
+    wide_tris_g: Any            # (L, 128) float32
+    wide_attrs: Any             # (L*8, 16) float32
+    wide_face_map: Any          # (L*8,) int32 face slot -> mesh face
 
     materials: MaterialTable
 
@@ -178,6 +186,10 @@ class PackedScene:
     texture_placement_max: Any  # (2, T)
     texture_layer: Any          # (T,) int32
     texture_flags: Any          # (T,) int32
+    # Same metadata packed as one row per texture so a tap fetches it
+    # with ONE row-gather (gathers cost per lane-index on TPU):
+    # [pmin.u, pmin.v, pmax.u, pmax.v, layer, flags, 0, 0] float32.
+    texture_meta: Any           # (T, 8) float32
 
     # Globals (packed_scene_globals, scene.glsl.inc:90-99).
     skybox_mean_direction: Any  # (3,)
@@ -368,6 +380,19 @@ def _build_wide_tables(instances):
     """
     from . import bvh8
 
+    tris = gather_world_tris(instances)
+    if tris is None:
+        return bvh8.WideBvh(nodes=np.zeros((1, 128), np.float32),
+                            tris=np.zeros((1, 128), np.float32),
+                            face_map=np.full(4, -1, np.int32),
+                            num_nodes=0, num_leaves=0), None
+    return bvh8.build_wide_bvh(*tris), tris
+
+
+def gather_world_tris(instances):
+    """World-space triangle soup of every mesh instance: (positions
+    (F,3,3), normals (F,3,3), uvs (F,3,2), shape index (F,)), or None
+    if the scene has no mesh faces."""
     pos_parts, nrm_parts, uv_parts, shp_parts = [], [], [], []
     for shape_index, entity, world, inv_world in instances:
         mesh = entity.mesh
@@ -386,13 +411,9 @@ def _build_wide_tables(instances):
         shp_parts.append(np.full(len(faces), shape_index, np.float32))
 
     if not pos_parts:
-        return bvh8.WideBvh(nodes=np.zeros((1, 128), np.float32),
-                            tris=np.zeros((1, 128), np.float32),
-                            face_map=np.full(4, -1, np.int32),
-                            num_nodes=0, num_leaves=0)
-    return bvh8.build_wide_bvh(
-        np.concatenate(pos_parts), np.concatenate(nrm_parts),
-        np.concatenate(uv_parts), np.concatenate(shp_parts))
+        return None
+    return (np.concatenate(pos_parts), np.concatenate(nrm_parts),
+            np.concatenate(uv_parts), np.concatenate(shp_parts))
 
 
 def _shape_bounds(shape_type, world_from_object, mesh, *_unused):
@@ -559,6 +580,15 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
                 texture_layer=jnp.zeros(1, jnp.int32),
                 texture_flags=jnp.zeros(1, jnp.int32),
             )
+        meta_rows = np.zeros((max(len(metas), 1), 8), np.float32)
+        for i, m in enumerate(metas):
+            meta_rows[i, 0:2] = m.placement_min
+            meta_rows[i, 2:4] = m.placement_max
+            meta_rows[i, 4] = np.float32(m.layer)
+            meta_rows[i, 5] = np.float32(m.flags)
+        if not metas:
+            meta_rows[0, 2:4] = 1.0
+        out['texture_meta'] = jnp.asarray(meta_rows)
         out['atlas'] = jnp.asarray(
             np.ascontiguousarray(atlas.reshape(-1, 4)))
         out['atlas_layers'] = jnp.asarray(atlas.shape[0], jnp.int32)
@@ -633,9 +663,22 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
             tlas_shape=jnp.asarray(tl_shape),
         )
 
-        wide = _build_wide_tables(instances)
+        from . import bvh8
+        wide, world_tris = _build_wide_tables(instances)
         out['wide_nodes'] = jnp.asarray(wide.nodes)
         out['wide_tris'] = jnp.asarray(wide.tris)
+        if world_tris is not None:
+            nodes_g, tris_g, attrs, face_map_g = bvh8.pack_wide_geom(
+                wide, *world_tris)
+        else:
+            nodes_g = wide.nodes
+            tris_g = np.zeros((1, 128), np.float32)
+            attrs = np.zeros((8, 16), np.float32)
+            face_map_g = np.full(8, -1, np.int32)
+        out['wide_nodes_g'] = jnp.asarray(nodes_g)
+        out['wide_tris_g'] = jnp.asarray(tris_g)
+        out['wide_attrs'] = jnp.asarray(attrs)
+        out['wide_face_map'] = jnp.asarray(face_map_g)
         dirty |= SCENE_DIRTY_GLOBALS
 
     if dirty & SCENE_DIRTY_CAMERAS:
