@@ -48,7 +48,14 @@ def bench_scene(name, scene, camera_model=0, tone=0):
           file=sys.stderr)
 
     t0 = time.time()
-    state = render(packed, config, WARMUP_ROUNDS, seed=0, layout=layout)
+    # Warm in CHUNK-sized calls so the exact program the timed loop runs
+    # (static rounds=CHUNK) is the one compiled here: on this deferred-
+    # dispatch runtime a mismatched warmup pushes the recompile into the
+    # timed region.
+    state = None
+    for _ in range(WARMUP_ROUNDS // CHUNK):
+        state = render(packed, config, CHUNK, seed=0, layout=layout,
+                       state=state)
     # A device->host readback is REQUIRED here, not just block_until_ready:
     # this runtime defers Pallas-program execution until the first
     # readback (block_until_ready returns immediately for deferred work),

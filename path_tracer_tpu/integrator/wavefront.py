@@ -202,6 +202,14 @@ def _render_jit(packed, layout, config, render_state, termination_probability,
                          termination_probability, rounds)
 
 
+@partial(jax.jit, static_argnames=('layout', 'config', 'rounds'))
+def _render_sorted_jit(packed, layout, config, render_state,
+                       termination_probability, rounds):
+    return render_rounds(packed, layout, config, render_state,
+                         termination_probability, rounds,
+                         sort_each_round=True)
+
+
 @jax.jit
 def _sort_jit(packed, render_state):
     key = _ray_sort_key(packed, render_state['origin'],
@@ -216,19 +224,18 @@ def render(packed, config: RenderConfig, spp_rounds, seed=0,
     spp_rounds is the number of wavefront rounds; expected samples per
     pixel is roughly rounds / E[path length]. Returns the render state
     (pass back via `state=` to continue progressive accumulation).
-
-    With config.sort_rays the per-round coherence sort runs as its own
-    jitted program between rounds (fusing the 30-operand sort network
-    into the round's fori_loop makes XLA compilation explode).
     """
     layout = layout or SceneLayout.from_packed(packed)
     if state is None:
         state = reset(packed, config, seed)
     term = jnp.float32(termination_probability)
+    # One fused program for all rounds either way: program dispatch on
+    # this runtime costs ~100 ms, which used to dominate analytic scenes
+    # (Cornell went 9.5 -> 64 Mrays/s when the per-round sort+render
+    # program pair collapsed into one fori_loop program).
     if wants_sort(config, layout):
-        for _ in range(int(spp_rounds)):
-            state = _sort_jit(packed, state)
-            state = _render_jit(packed, layout, config, state, term, 1)
+        state = _render_sorted_jit(packed, layout, config, state, term,
+                                   int(spp_rounds))
     else:
         state = _render_jit(packed, layout, config, state, term,
                             int(spp_rounds))
