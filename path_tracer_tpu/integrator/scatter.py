@@ -213,8 +213,10 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
                              jnp.where(is_real, exterior_medium['ior'], 1.0))
     exterior_ior = jnp.where(is_real, exterior_ior, 1.0)
 
+    tex_attrs = (layout.textured_attrs if layout is not None
+                 else ('base', 'specular', 'roughness', 'roughness_anisotropy'))
     ctx = fetch_ctx(packed, hit['material'], lam, hit['uv'], exterior_ior,
-                    textured, atlas_size, types, filters)
+                    textured, atlas_size, types, filters, tex_attrs)
 
     # Surface emission (OpenPBR area lights): accumulate on real exterior
     # hits before the BSDF extends the path. The reference packs emission

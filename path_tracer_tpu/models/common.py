@@ -163,9 +163,12 @@ def fetch_medium_ctx(packed, material_index, lam, types=()):
     return ctx
 
 
+ALL_TEXTURED_ATTRS = ('base', 'specular', 'roughness', 'roughness_anisotropy')
+
+
 def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
               textured=True, atlas_size=8, types=(),
-              filter_modes=(True, True)):
+              filter_modes=(True, True), textured_attrs=ALL_TEXTURED_ATTRS):
     """Gather every material attribute for the given lanes.
 
     material_index: (N,) int32 slots into the MaterialTable. Returns a
@@ -185,19 +188,22 @@ def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
         exterior_ior=exterior_ior,
         base_reflectance=texturable_reflectance(
             packed, _col(m.base_spectrum, i), _col(m.base_texture, i), lam, uv,
-            textured, atlas_size, filter_modes),
+            textured and 'base' in textured_attrs, atlas_size, filter_modes),
     )
     if has_metal or has_pbr:
         ctx['specular_reflectance'] = texturable_reflectance(
             packed, _col(m.specular_spectrum, i), _col(m.specular_texture, i),
-            lam, uv, textured, atlas_size, filter_modes)
+            lam, uv, textured and 'specular' in textured_attrs, atlas_size,
+            filter_modes)
     if has_metal or has_trans or has_pbr:
         ctx['roughness'] = texturable_value(
             packed, _col(m.roughness, i), _col(m.roughness_texture, i), uv,
-            textured, atlas_size, filter_modes)
+            textured and 'roughness' in textured_attrs, atlas_size,
+            filter_modes)
         ctx['roughness_anisotropy'] = texturable_value(
             packed, _col(m.roughness_anisotropy, i),
-            _col(m.roughness_anisotropy_texture, i), uv, textured,
+            _col(m.roughness_anisotropy_texture, i), uv,
+            textured and 'roughness_anisotropy' in textured_attrs,
             atlas_size, filter_modes)
     if has_trans:
         ctx.update(

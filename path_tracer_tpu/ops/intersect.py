@@ -78,6 +78,12 @@ class SceneLayout:
     # are the scarce resource on TPU).
     has_skybox_texture: bool = False
     materials_textured: bool = False
+    # Which texturable material attributes actually carry a texture in
+    # this scene; fetch_ctx skips taps (5 row-gathers each at 2M lanes)
+    # for the rest. Subset of ('base', 'specular', 'roughness',
+    # 'roughness_anisotropy').
+    textured_attrs: Tuple[str, ...] = ('base', 'specular', 'roughness',
+                                       'roughness_anisotropy')
     atlas_size: int = 8
     # (has_bilinear, has_nearest): which filter paths any texture in the
     # scene actually uses; sample_texture skips the other entirely.
@@ -106,10 +112,13 @@ class SceneLayout:
             else:
                 analytic.append((i, int(t)))
         m = packed.materials
-        texture_cols = (m.base_texture, m.specular_texture, m.roughness_texture,
-                        m.roughness_anisotropy_texture, m.emission_texture)
-        textured = any(bool((np.asarray(c) != TEXTURE_INDEX_NONE).any())
-                       for c in texture_cols)
+        attr_cols = dict(base=m.base_texture, specular=m.specular_texture,
+                         roughness=m.roughness_texture,
+                         roughness_anisotropy=m.roughness_anisotropy_texture)
+        textured_attrs = tuple(sorted(
+            name for name, c in attr_cols.items()
+            if bool((np.asarray(c) != TEXTURE_INDEX_NONE).any())))
+        textured = bool(textured_attrs)
         from . import trace_packet
         mat_types = np.asarray(m.type)
         referenced = mat_types[np.asarray(packed.shape_material)]
@@ -117,6 +126,7 @@ class SceneLayout:
             tuple(analytic), tuple(meshes), len(shape_type),
             has_skybox_texture=int(packed.skybox_texture_index) != TEXTURE_INDEX_NONE,
             materials_textured=textured,
+            textured_attrs=textured_attrs,
             atlas_size=int(packed.atlas_size),
             texture_filter_modes=_filter_modes_from_flags(
                 np.asarray(packed.texture_flags)),
@@ -152,15 +162,23 @@ def build_layout_host(scene, packed):
                       else MATERIAL_TYPE_OPENPBR)
         index += 1
 
-    textured = False
+    attr_fields = dict(
+        base=('base_texture', 'base_color_texture'),
+        specular=('specular_texture',),
+        roughness=('roughness_texture', 'specular_roughness_texture'),
+        roughness_anisotropy=('roughness_anisotropy_texture',),
+    )
+    textured_set = set()
     for material in scene.materials:
-        for texture in material.textures():
-            if texture is not None:
-                textured = True
+        for attr, fields in attr_fields.items():
+            if any(getattr(material, f, None) is not None for f in fields):
+                textured_set.add(attr)
+    textured = bool(textured_set)
     return SceneLayout(
         tuple(analytic), tuple(meshes), max(index, 1),
         has_skybox_texture=scene.root.skybox_texture is not None,
         materials_textured=textured,
+        textured_attrs=tuple(sorted(textured_set)),
         atlas_size=_host_atlas_size(scene),
         texture_filter_modes=_filter_modes(
             [t.enable_nearest_filtering for t in scene.textures

@@ -26,6 +26,14 @@ on-chip pop-cost ablation (tools/exp_pop_cost.py, cycles/pop at
     near-first push order flipped by the packet's mean direction sign,
     SMEM stacks. See trace_wide.py for the history of measured design
     facts (packet-interval tests, interleaving, precision).
+
+Negative result (measured, then reverted): a two-phase variant --
+stack holds only interior nodes, leaf children queue in SMEM and drain
+in branch-free bursts of 8 -- HALVED the loop iteration count but ran
+~4% slower overall (bounce 606 vs 580 ms): leaf pops are not
+skeleton-bound, and deferring leaves lagged the per-ray reach enough
+to add ~5% more pops. The per-pop floor here is the splat tests plus
+the ~130-cycle mask crossing, not loop overhead.
 """
 
 from __future__ import annotations

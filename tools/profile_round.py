@@ -65,7 +65,16 @@ def profile_scene(name, scene, camera_model=0):
     state = wf.render(packed, config, 4, seed=0, layout=layout)
     float(jnp.sum(state['accum']['count']))
 
+    # Per-call dispatch/readback overhead on this runtime is large
+    # (~100 ms); measure it with a null program and subtract mentally
+    # when reading the per-stage rows below.
+    @jax.jit
+    def _null(s):
+        return jax.tree_util.tree_map(lambda x: x, s)
+
     res = {}
+    res['call_overhead'] = timed('null program (call overhead)',
+                                 _null, state)
     res['sort'] = timed('sort (argsort+row gather)', wf._sort_jit,
                         packed, state)
 
