@@ -214,7 +214,8 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     exterior_ior = jnp.where(is_real, exterior_ior, 1.0)
 
     tex_attrs = (layout.textured_attrs if layout is not None
-                 else ('base', 'specular', 'roughness', 'roughness_anisotropy'))
+                 else ('base', 'emission', 'specular', 'roughness',
+                       'roughness_anisotropy'))
     ctx = fetch_ctx(packed, hit['material'], lam, hit['uv'], exterior_ior,
                     textured, atlas_size, types, filters, tex_attrs)
 

@@ -163,7 +163,8 @@ def fetch_medium_ctx(packed, material_index, lam, types=()):
     return ctx
 
 
-ALL_TEXTURED_ATTRS = ('base', 'specular', 'roughness', 'roughness_anisotropy')
+ALL_TEXTURED_ATTRS = ('base', 'emission', 'specular', 'roughness',
+                      'roughness_anisotropy')
 
 
 def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
@@ -233,8 +234,11 @@ def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
             coat_roughness=_col(m.coat_roughness, i),
             coat_roughness_anisotropy=_col(m.coat_roughness_anisotropy, i),
             coat_darkening=_col(m.coat_darkening, i),
-            emission_spectrum=_col(m.emission_spectrum, i),
-            emission_texture=_col(m.emission_texture, i),
+            emission_reflectance=texturable_reflectance(
+                packed, _col(m.emission_spectrum, i),
+                _col(m.emission_texture, i), lam, uv,
+                textured and 'emission' in textured_attrs, atlas_size,
+                filter_modes),
             emission_luminance=_col(m.emission_luminance, i),
             layer_bounce_limit=_col(m.layer_bounce_limit, i),
         )

@@ -59,9 +59,11 @@ def has_dirac_bsdf(ctx):
 
 
 def emission(ctx):
-    """Base emission radiance (4, N) (packed per openpbr.hpp:127-133)."""
-    return (sample_parametric_spectrum(ctx['emission_spectrum'], ctx['lam'])
-            * ctx['emission_luminance'])
+    """Base emission radiance (4, N) (packed per openpbr.hpp:127-133);
+    the emission color is texturable (fetch_ctx samples the texture into
+    emission_reflectance -- the reference packs the texture slot at
+    serializer.cpp/openpbr.hpp but its shader never reads it)."""
+    return ctx['emission_reflectance'] * ctx['emission_luminance']
 
 
 def load_medium(ctx):

@@ -80,10 +80,10 @@ class SceneLayout:
     materials_textured: bool = False
     # Which texturable material attributes actually carry a texture in
     # this scene; fetch_ctx skips taps (5 row-gathers each at 2M lanes)
-    # for the rest. Subset of ('base', 'specular', 'roughness',
-    # 'roughness_anisotropy').
-    textured_attrs: Tuple[str, ...] = ('base', 'specular', 'roughness',
-                                       'roughness_anisotropy')
+    # for the rest. Subset of ('base', 'emission', 'specular',
+    # 'roughness', 'roughness_anisotropy').
+    textured_attrs: Tuple[str, ...] = ('base', 'emission', 'specular',
+                                       'roughness', 'roughness_anisotropy')
     atlas_size: int = 8
     # (has_bilinear, has_nearest): which filter paths any texture in the
     # scene actually uses; sample_texture skips the other entirely.
@@ -114,7 +114,8 @@ class SceneLayout:
         m = packed.materials
         attr_cols = dict(base=m.base_texture, specular=m.specular_texture,
                          roughness=m.roughness_texture,
-                         roughness_anisotropy=m.roughness_anisotropy_texture)
+                         roughness_anisotropy=m.roughness_anisotropy_texture,
+                         emission=m.emission_texture)
         textured_attrs = tuple(sorted(
             name for name, c in attr_cols.items()
             if bool((np.asarray(c) != TEXTURE_INDEX_NONE).any())))
@@ -167,6 +168,7 @@ def build_layout_host(scene, packed):
         specular=('specular_texture',),
         roughness=('roughness_texture', 'specular_roughness_texture'),
         roughness_anisotropy=('roughness_anisotropy_texture',),
+        emission=('emission_color_texture',),
     )
     textured_set = set()
     for material in scene.materials:

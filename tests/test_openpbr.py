@@ -78,3 +78,36 @@ def test_openpbr_coat_runs_and_is_finite():
                                  specular_roughness=0.4), rounds=150)
     assert np.isfinite(img).all()
     assert img.max() > 0.05
+
+
+@pytest.mark.slow
+def test_openpbr_emission_texture_modulates():
+    """A black emission texture must kill the emission of a material
+    whose base emission color is bright (the texture multiplies the
+    emission reflectance; the reference packs this slot but never reads
+    it -- we wire it through)."""
+    from path_tracer_tpu.core.constants import TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA
+
+    def scene_with(tex_value):
+        scene = Scene()
+        pixels = np.full((8, 8, 3), tex_value, np.float32)
+        tex = scene.create_texture(name='em', type=TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA,
+                                   pixels=pixels)
+        mat = scene.create_material(
+            MATERIAL_TYPE_OPENPBR,
+            emission_color=np.asarray([1.0, 1.0, 1.0]),
+            emission_luminance=5.0,
+            emission_color_texture=tex)
+        scene.create_entity(ENTITY_TYPE_SPHERE, material=mat,
+                            transform=Transform(position=[0, 2.5, 0]))
+        cam = scene.create_entity(
+            ENTITY_TYPE_CAMERA,
+            transform=Transform(position=[0, -1.5, 0],
+                                rotation=[np.pi / 2, 0, 0]))
+        cam.pinhole.field_of_view_in_degrees = 40.0
+        return scene
+
+    lit = _render(scene_with(1.0), rounds=60)
+    dark = _render(scene_with(0.02), rounds=60)
+    assert lit[6, 12].mean() > dark[6, 12].mean() + 0.1, (
+        lit[6, 12].mean(), dark[6, 12].mean())
