@@ -52,7 +52,7 @@ def main():
     order = np.argsort(key)
     ob, db = ob[:, order], db[:, order]
 
-    t_in = jnp.full((n,), 1e30, jnp.float32)
+    t_in = jnp.full((n,), 1e6, jnp.float32)
     results = {}
 
     def run(label, fn, nodes, tris, o, d, reps=4):
