@@ -13,6 +13,7 @@ priority rules directly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.constants import (
@@ -67,7 +68,8 @@ def fetch_medium(packed, shape_index, lam, types=()):
 
 
 def sample_skybox_radiance(packed, direction, lam, has_texture=True,
-                           atlas_size=8, filter_modes=(True, True)):
+                           atlas_size=8, filter_modes=(True, True),
+                           use_quad=False):
     """SampleSkyboxRadiance (scene.glsl.inc:209-229): equirect lookup of
     parametric emission spectrum, or the default (0,0,100,1) spectrum.
     direction: (3, N), lam: (4, N) -> (4, N). `has_texture` is static:
@@ -81,9 +83,13 @@ def sample_skybox_radiance(packed, direction, lam, has_texture=True,
     phi = jnp.arctan2(direction[1], direction[0])
     theta = jnp.arcsin(jnp.clip(direction[2], -1.0, 1.0))
     uv = jnp.stack([0.5 + phi / TAU, 0.5 + theta / PI], axis=0)
-    idx = jnp.broadcast_to(packed.skybox_texture_index, (n,))
-    spectrum = sample_texture(packed, idx, uv, atlas_size,
-                              filter_modes)  # (4, N)
+    # The skybox is ONE texture: fetch its metadata row once and
+    # broadcast, instead of a per-lane index gather (a 2M-lane gather
+    # costs ~20 ms; this path runs every round for every lane).
+    meta = jax.lax.dynamic_slice_in_dim(
+        packed.texture_meta, packed.skybox_texture_index, 1, 0)[0][:, None]
+    spectrum = sample_texture(packed, None, uv, atlas_size,
+                              filter_modes, use_quad, meta=meta)  # (4, N)
     return (sample_parametric_spectrum_scaled(spectrum, lam)
             * packed.skybox_brightness)
 
@@ -144,6 +150,7 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     types = layout.material_types if layout is not None else ()
     filters = (layout.texture_filter_modes if layout is not None
                else (True, True))
+    use_quad = layout.atlas_quad_fit if layout is not None else False
     lam = hero_wavelength_cluster(state['lambda0'])  # (4, N)
 
     active_shapes = state['active_shapes']           # (LIMIT, N)
@@ -184,7 +191,7 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     # --- skybox emission (basic_scatter.glsl:165-172) ----------------------
     emission = sample_skybox_radiance(packed, ray_direction, lam,
                                       has_sky_tex, atlas_size,
-                                      filters)  # (4, N)
+                                      filters, use_quad)  # (4, N)
     cluster_pdf = jnp.maximum(sum4(probability), 1e-20)
     observer = sample_standard_observer(lam)  # (3, 4, N)
     weighted = emission * throughput          # (4, N)
@@ -217,7 +224,8 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
                  else ('base', 'emission', 'specular', 'roughness',
                        'roughness_anisotropy'))
     ctx = fetch_ctx(packed, hit['material'], lam, hit['uv'], exterior_ior,
-                    textured, atlas_size, types, filters, tex_attrs)
+                    textured, atlas_size, types, filters, tex_attrs,
+                    use_quad)
 
     # Surface emission (OpenPBR area lights): accumulate on real exterior
     # hits before the BSDF extends the path. The reference packs emission

@@ -18,7 +18,7 @@ from ..core.vec import take_1d
 
 
 def sample_texture(packed, texture_index, uv, atlas_size,
-                   filter_modes=(True, True)):
+                   filter_modes=(True, True), use_quad=False, meta=None):
     """Sample the texture atlas (scene.glsl.inc:181-205).
 
     texture_index: (N,) int32 (TEXTURE_INDEX_NONE allowed -- result is
@@ -26,16 +26,20 @@ def sample_texture(packed, texture_index, uv, atlas_size,
     the static layer edge length. Returns (4, N). Applies per-texture
     placement with wrap, then nearest or bilinear filtering by flag.
 
-    Gathers cost per lane-index on TPU, so: the per-texture metadata
-    (placement, layer, flags) comes from ONE (T, 8) row-gather instead
-    of six scalar-column gathers, each atlas tap is one row-gather of
-    the (texels, 4) atlas, and `filter_modes` (static
-    (has_bilinear, has_nearest) from SceneLayout) skips the 4-tap
-    bilinear or the 1-tap nearest path entirely when no texture in the
-    scene uses it.
+    Gathers cost per lane-index on TPU, so every knob here removes
+    gathers: the per-texture metadata (placement, layer, flags) comes
+    from ONE (T, 8) row-gather (or zero -- callers with a single static
+    texture pass `meta` as an (8, 1) column fetched once, e.g. the
+    skybox); with `use_quad` (static, from SceneLayout.atlas_quad_fit)
+    a bilinear tap is ONE row-gather of the precomputed 2x2-quad atlas
+    instead of four corner gathers, and the nearest tap selects among
+    the same four values for free; `filter_modes` (static
+    (has_bilinear, has_nearest)) skips whole filter paths.
     """
-    safe_idx = jnp.where(texture_index == TEXTURE_INDEX_NONE, 0, texture_index)
-    meta = jnp.take(packed.texture_meta, safe_idx, axis=0).T  # (8, N)
+    if meta is None:
+        safe_idx = jnp.where(texture_index == TEXTURE_INDEX_NONE, 0,
+                             texture_index)
+        meta = jnp.take(packed.texture_meta, safe_idx, axis=0).T  # (8, N)
     pmin = meta[0:2]
     pmax = meta[2:4]
     layer = meta[4].astype(jnp.int32)
@@ -46,36 +50,60 @@ def sample_texture(packed, texture_index, uv, atlas_size,
     v = pmin[1] + (pmax[1] - pmin[1]) * frac_uv[1]
 
     size = atlas_size
-    rows = packed.atlas  # (texels, 4)
 
     # Texel-space coordinates with half-texel convention.
     x = u * size - 0.5
     y = v * size - 0.5
-
-    def fetch(px, py):
-        px = jnp.clip(px, 0, size - 1)
-        py = jnp.clip(py, 0, size - 1)
-        idx = (layer * size + py) * size + px
-        return jnp.take(rows, idx, axis=0).T  # (4, N)
-
     has_bilinear, has_nearest = filter_modes
 
-    linear = nearest = None
-    if has_bilinear:
+    if use_quad:
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
-        fx = x - x0
-        fy = y - y0
-        c00 = fetch(x0, y0)
-        c10 = fetch(x0 + 1, y0)
-        c01 = fetch(x0, y0 + 1)
-        c11 = fetch(x0 + 1, y0 + 1)
-        linear = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
-                  + (c01 * (1 - fx) + c11 * fx) * fy)
-    if has_nearest:
-        xn = jnp.round(x).astype(jnp.int32)
-        yn = jnp.round(y).astype(jnp.int32)
-        nearest = fetch(xn, yn)
+        # Forcing the fraction to 0 when floor clips below 0 reproduces
+        # the 4-gather path's double-clamped corners exactly.
+        fx = jnp.where(x0 < 0, 0.0, x - x0)
+        fy = jnp.where(y0 < 0, 0.0, y - y0)
+        x0c = jnp.clip(x0, 0, size - 1)
+        y0c = jnp.clip(y0, 0, size - 1)
+        idx = (layer * size + y0c) * size + x0c
+        q = jnp.take(packed.atlas_quad, idx, axis=0).T   # (16, N)
+        c00, c10, c01, c11 = q[0:4], q[4:8], q[8:12], q[12:16]
+        linear = nearest = None
+        if has_bilinear:
+            linear = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+                      + (c01 * (1 - fx) + c11 * fx) * fy)
+        if has_nearest:
+            xn = jnp.clip(jnp.round(x).astype(jnp.int32), 0, size - 1)
+            yn = jnp.clip(jnp.round(y).astype(jnp.int32), 0, size - 1)
+            sx = xn > x0c
+            sy = yn > y0c
+            nearest = jnp.where(sx & sy, c11,
+                                jnp.where(sx, c10, jnp.where(sy, c01, c00)))
+    else:
+        rows = packed.atlas  # (texels, 4)
+
+        def fetch(px, py):
+            px = jnp.clip(px, 0, size - 1)
+            py = jnp.clip(py, 0, size - 1)
+            idx = (layer * size + py) * size + px
+            return jnp.take(rows, idx, axis=0).T  # (4, N)
+
+        linear = nearest = None
+        if has_bilinear:
+            x0 = jnp.floor(x).astype(jnp.int32)
+            y0 = jnp.floor(y).astype(jnp.int32)
+            fx = x - x0
+            fy = y - y0
+            c00 = fetch(x0, y0)
+            c10 = fetch(x0 + 1, y0)
+            c01 = fetch(x0, y0 + 1)
+            c11 = fetch(x0 + 1, y0 + 1)
+            linear = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+                      + (c01 * (1 - fx) + c11 * fx) * fy)
+        if has_nearest:
+            xn = jnp.round(x).astype(jnp.int32)
+            yn = jnp.round(y).astype(jnp.int32)
+            nearest = fetch(xn, yn)
 
     if not has_nearest:
         return linear
@@ -86,7 +114,8 @@ def sample_texture(packed, texture_index, uv, atlas_size,
 
 
 def texturable_reflectance(packed, beta, texture_index, lam, uv, textured,
-                           atlas_size, filter_modes=(True, True)):
+                           atlas_size, filter_modes=(True, True),
+                           use_quad=False):
     """Spectral reflectance of a texturable color attribute
     (scene.glsl.inc:276-290). beta: (3, N), lam: (4, N) -> (4, N).
     `textured` is a static flag: untextured scenes skip the taps."""
@@ -95,19 +124,19 @@ def texturable_reflectance(packed, beta, texture_index, lam, uv, textured,
         return value
     has_texture = texture_index != TEXTURE_INDEX_NONE
     tex_beta = sample_texture(packed, texture_index, uv, atlas_size,
-                              filter_modes)[:3]
+                              filter_modes, use_quad)[:3]
     tex_value = sample_parametric_spectrum(tex_beta, lam)
     return jnp.where(has_texture, value * tex_value, value)
 
 
 def texturable_value(packed, value, texture_index, uv, textured, atlas_size,
-                     filter_modes=(True, True)):
+                     filter_modes=(True, True), use_quad=False):
     """Scalar texturable attribute (scene.glsl.inc:292-302)."""
     if not textured:
         return value
     has_texture = texture_index != TEXTURE_INDEX_NONE
     tex = sample_texture(packed, texture_index, uv, atlas_size,
-                         filter_modes)[0]
+                         filter_modes, use_quad)[0]
     return jnp.where(has_texture, value * tex, value)
 
 
@@ -169,7 +198,8 @@ ALL_TEXTURED_ATTRS = ('base', 'emission', 'specular', 'roughness',
 
 def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
               textured=True, atlas_size=8, types=(),
-              filter_modes=(True, True), textured_attrs=ALL_TEXTURED_ATTRS):
+              filter_modes=(True, True), textured_attrs=ALL_TEXTURED_ATTRS,
+              use_quad=False):
     """Gather every material attribute for the given lanes.
 
     material_index: (N,) int32 slots into the MaterialTable. Returns a
@@ -189,23 +219,24 @@ def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
         exterior_ior=exterior_ior,
         base_reflectance=texturable_reflectance(
             packed, _col(m.base_spectrum, i), _col(m.base_texture, i), lam, uv,
-            textured and 'base' in textured_attrs, atlas_size, filter_modes),
+            textured and 'base' in textured_attrs, atlas_size, filter_modes,
+            use_quad),
     )
     if has_metal or has_pbr:
         ctx['specular_reflectance'] = texturable_reflectance(
             packed, _col(m.specular_spectrum, i), _col(m.specular_texture, i),
             lam, uv, textured and 'specular' in textured_attrs, atlas_size,
-            filter_modes)
+            filter_modes, use_quad)
     if has_metal or has_trans or has_pbr:
         ctx['roughness'] = texturable_value(
             packed, _col(m.roughness, i), _col(m.roughness_texture, i), uv,
             textured and 'roughness' in textured_attrs, atlas_size,
-            filter_modes)
+            filter_modes, use_quad)
         ctx['roughness_anisotropy'] = texturable_value(
             packed, _col(m.roughness_anisotropy, i),
             _col(m.roughness_anisotropy_texture, i), uv,
             textured and 'roughness_anisotropy' in textured_attrs,
-            atlas_size, filter_modes)
+            atlas_size, filter_modes, use_quad)
     if has_trans:
         ctx.update(
             ior=_col(m.ior, i),
@@ -238,7 +269,7 @@ def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
                 packed, _col(m.emission_spectrum, i),
                 _col(m.emission_texture, i), lam, uv,
                 textured and 'emission' in textured_attrs, atlas_size,
-                filter_modes),
+                filter_modes, use_quad),
             emission_luminance=_col(m.emission_luminance, i),
             layer_bounce_limit=_col(m.layer_bounce_limit, i),
         )

@@ -88,6 +88,9 @@ class SceneLayout:
     # (has_bilinear, has_nearest): which filter paths any texture in the
     # scene actually uses; sample_texture skips the other entirely.
     texture_filter_modes: Tuple[bool, bool] = (True, True)
+    # Whether the precomputed 2x2-quad atlas exists (small atlases):
+    # bilinear taps then cost one gather instead of four.
+    atlas_quad_fit: bool = False
     # Whether the flattened wide-BVH tables fit the packet kernel's
     # VMEM budget (decided from array *shapes* only -- no readbacks).
     wide_fit: bool = False
@@ -131,6 +134,7 @@ class SceneLayout:
             atlas_size=int(packed.atlas_size),
             texture_filter_modes=_filter_modes_from_flags(
                 np.asarray(packed.texture_flags)),
+            atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
             wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
                                                   packed.wide_tris_g),
             material_types=tuple(sorted(int(t) for t in set(referenced))),
@@ -185,6 +189,7 @@ def build_layout_host(scene, packed):
         texture_filter_modes=_filter_modes(
             [t.enable_nearest_filtering for t in scene.textures
              if t.pixels is not None]),
+        atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
         wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
                                               packed.wide_tris_g),
         material_types=tuple(sorted(mat_types)),

@@ -180,6 +180,11 @@ class PackedScene:
 
     # Texture atlas: flat rows so one bilinear tap is one row-gather.
     atlas: Any                  # (L*A*A, 4) float32
+    # Quad atlas: each texel's clamped 2x2 neighborhood in one row, so a
+    # bilinear tap is ONE row-gather instead of four. Built only when it
+    # fits ATLAS_QUAD_LIMIT_BYTES (big atlases fall back to 4 gathers);
+    # (1, 16) dummy otherwise.
+    atlas_quad: Any             # (L*A*A, 16) float32 or (1, 16)
     atlas_layers: Any           # () int32 (layer count; A from field below)
     atlas_size: Any             # () int32
     texture_placement_min: Any  # (2, T)
@@ -366,6 +371,28 @@ def _pack_meshes(scene: Scene):
         mesh_node_a=cat(node_a, (1,), np.int32),
         mesh_node_b=cat(node_b, (1,), np.int32),
     )
+
+
+ATLAS_QUAD_LIMIT_BYTES = 128 * 1024 * 1024
+
+
+def atlas_quad_fits(num_layers, size):
+    return num_layers * size * size * 16 * 4 <= ATLAS_QUAD_LIMIT_BYTES
+
+
+def _build_atlas_quad(atlas):
+    """(L, A, A, 4) atlas -> (L*A*A, 16) rows of each texel's clamped
+    2x2 neighborhood [c(x,y), c(x+1,y), c(x,y+1), c(x+1,y+1)] (neighbors
+    clamped at the layer edge, matching sample_texture's global clip).
+    Returns a (1, 16) dummy when over the size budget."""
+    layers, size = atlas.shape[0], atlas.shape[1]
+    if not atlas_quad_fits(layers, size):
+        return np.zeros((1, 16), np.float32)
+    xp = np.concatenate([atlas[:, :, 1:], atlas[:, :, -1:]], axis=2)
+    yp = np.concatenate([atlas[:, 1:], atlas[:, -1:]], axis=1)
+    xyp = np.concatenate([xp[:, 1:], xp[:, -1:]], axis=1)
+    quad = np.concatenate([atlas, xp, yp, xyp], axis=-1)  # (L, A, A, 16)
+    return np.ascontiguousarray(quad.reshape(-1, 16)).astype(np.float32)
 
 
 def _build_wide_tables(instances):
@@ -591,6 +618,7 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
         out['texture_meta'] = jnp.asarray(meta_rows)
         out['atlas'] = jnp.asarray(
             np.ascontiguousarray(atlas.reshape(-1, 4)))
+        out['atlas_quad'] = jnp.asarray(_build_atlas_quad(atlas))
         out['atlas_layers'] = jnp.asarray(atlas.shape[0], jnp.int32)
         out['atlas_size'] = jnp.asarray(atlas.shape[1], jnp.int32)
         dirty |= SCENE_DIRTY_MATERIALS | SCENE_DIRTY_SKYBOX_TEXTURE

@@ -220,3 +220,38 @@ def test_default_scene_and_complexity_heatmap():
         mode=preview.PREVIEW_RENDER_MODE_MESH_COMPLEXITY))
     assert heat[..., 1].max() > 0.02  # green channel carries the cost
     assert heat[..., 0].max() == 0.0
+
+
+def test_sample_texture_quad_path_matches_four_gathers():
+    """The quad-atlas bilinear/nearest path must reproduce the 4-gather
+    path bit-for-bit, including the clamped edge texels."""
+    import jax.numpy as jnp
+    from path_tracer_tpu import compile_scene
+    from path_tracer_tpu.models.common import sample_texture
+    from path_tracer_tpu.scene.model import Scene
+    from path_tracer_tpu.core.constants import (
+        TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA)
+
+    rng = np.random.default_rng(0)
+    scene = Scene()
+    for k, nearest in enumerate((False, True)):
+        pixels = rng.uniform(0, 1, (13, 9, 3)).astype(np.float32)
+        scene.create_texture(name=f't{k}', pixels=pixels,
+                             type=TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA,
+                             enable_nearest_filtering=nearest)
+    packed = compile_scene(scene, aspect_ratio=1.0)
+    assert packed.atlas_quad.shape[0] > 1
+
+    n = 4096
+    idx = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    # Include exact edges, corners and out-of-range wraps.
+    uv = rng.uniform(-1.2, 2.2, (2, n)).astype(np.float32)
+    uv[:, :8] = np.array([[0, 1, 0, 1, 0.5, 1e-4, 0.9999, 0.3],
+                          [0, 0, 1, 1, 0.5, 1e-4, 0.9999, 0.7]])
+    size = int(packed.atlas_size)
+    for filters in ((True, True), (True, False), (False, True)):
+        a = sample_texture(packed, idx, jnp.asarray(uv), size, filters,
+                           use_quad=False)
+        b = sample_texture(packed, idx, jnp.asarray(uv), size, filters,
+                           use_quad=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
