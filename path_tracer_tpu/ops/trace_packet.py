@@ -54,7 +54,7 @@ PASS_LIMIT = 0.5 * BIG
 # VMEM budget guard: only nodes + geometry rows live in VMEM now (the
 # attribute side table stays in HBM), so the same budget covers ~2x the
 # triangle count the v3 layout did.
-VMEM_TABLE_LIMIT_BYTES = 13 * 1024 * 1024
+VMEM_TABLE_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def tables_fit_vmem(nodes, tris_g):
@@ -304,6 +304,10 @@ def wide_trace5(nodes, tris_g, origin, direction, t_in,
             pltpu.VMEM(tris_g.shape, jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # The default scoped-VMEM budget is 16 MB; the resident tables
+        # need up to VMEM_TABLE_LIMIT_BYTES plus ray blocks + headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(nodes, tris_g,
       o[0], o[1], o[2], d[0], d[1], d[2], t_in.reshape(shape2))
