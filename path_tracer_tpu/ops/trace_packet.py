@@ -27,6 +27,15 @@ on-chip pop-cost ablation (tools/exp_pop_cost.py, cycles/pop at
     SMEM stacks. See trace_wide.py for the history of measured design
     facts (packet-interval tests, interleaving, precision).
 
+Interleaving note: a minimal ablation showed a data-dependent pop
+chain costs 1121 cy/pop vs 690 with an independent schedule, suggesting
+~430 cy of hideable latency -- but round-robining 2 or 4 independent
+packets per kernel instance left sorted-bounce time EXACTLY flat
+(580 ms at interleave 1/2/4) while fixing a ~2x primary regression the
+round-robin structure itself introduced at interleave=1. The real
+kernel's instruction window already hides what the ablation exposed;
+INTERLEAVE=2 is kept as the neutral default.
+
 Negative result (measured, then reverted): a two-phase variant --
 stack holds only interior nodes, leaf children queue in SMEM and drain
 in branch-free bursts of 8 -- HALVED the loop iteration count but ran
@@ -48,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.bvh8 import AXIS_LANE, BIG, GEOM5_STRIDE, LEAF_ENC, META_LANE
 
 PACKET_ROWS = 8          # packet = 8 x 128 = 1024 rays
+INTERLEAVE = 2           # independent packets per kernel instance
 STACK_DEPTH = 96
 PASS_LIMIT = 0.5 * BIG
 
@@ -63,17 +73,15 @@ def tables_fit_vmem(nodes, tris_g):
 
 def _kernel(nodes_hbm, tris_hbm,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_in_ref,
-            t_ref, face_ref, fu_ref, fv_ref, shp_ref, *rest, stats):
+            t_ref, face_ref, fu_ref, fv_ref, shp_ref, *rest,
+            interleave, stats):
     if stats:
         stats_ref = rest[0]
         rest = rest[1:]
     stack_ref, sp_ref, ct_ref, nodes_ref, tris_ref, sems = rest
 
     # The tables arrive as HBM refs and are DMA'd into VMEM scratch ONCE
-    # (scratch persists across the sequential TPU grid). Passing them as
-    # VMEM-blocked inputs instead re-streams every grid step: measured
-    # ~225 us of fixed cost per 1024-ray step for 4.7 MB of tables --
-    # the dominant cost of the whole kernel for coherent rays.
+    # (scratch persists across the sequential TPU grid).
     @pl.when(pl.program_id(0) == 0)
     def _():
         cp = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
@@ -84,16 +92,28 @@ def _kernel(nodes_hbm, tris_hbm,
         ct.wait()
 
     bigf = jnp.float32(BIG)
+    P = interleave
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-8,
                                jnp.where(d >= 0, 1e-8, -1e-8), d)
 
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    inv_x, inv_y, inv_z = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-    oinv_x, oinv_y, oinv_z = ox * inv_x, oy * inv_y, oz * inv_z
-    fwd = (jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0)
+    # Per-packet cached ray registers. The packets are INDEPENDENT;
+    # round-robining one pop per packet per loop iteration overlaps one
+    # packet's vector->scalar crossing + dependent fetch latency with
+    # another packet's vector work (measured: a data-dependent pop chain
+    # costs 1121 cy/pop vs 690 for the same pop with an independent
+    # schedule -- the ~430-cycle gap is hideable latency).
+    pk = []
+    for p in range(P):
+        sl = slice(8 * p, 8 * p + 8)
+        ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
+        dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
+        inv = (safe_inv(dx), safe_inv(dy), safe_inv(dz))
+        oinv = (ox * inv[0], oy * inv[1], oz * inv[2])
+        fwd = (jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0)
+        pk.append(dict(sl=sl, o=(ox, oy, oz), d=(dx, dy, dz),
+                       inv=inv, oinv=oinv, fwd=fwd))
 
     pow2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
@@ -103,16 +123,20 @@ def _kernel(nodes_hbm, tris_hbm,
     fu_ref[:] = zeros
     fv_ref[:] = zeros
     shp_ref[:] = jnp.zeros_like(face_ref)
-    stack_ref[0] = jnp.int32(0)
-    sp_ref[0] = jnp.int32(1)
+    for p in range(P):
+        stack_ref[p, 0] = jnp.int32(0)
+        sp_ref[p] = jnp.int32(1)
     if stats:
         ct_ref[0] = jnp.int32(0)
         ct_ref[1] = jnp.int32(0)
         ct_ref[2] = jnp.int32(0)
 
-    def interior(v, sp):
+    def interior(p, v, sp):
         if stats:
             ct_ref[0] = ct_ref[0] + 1
+        sl = pk[p]['sl']
+        inv_x, inv_y, inv_z = pk[p]['inv']
+        oinv_x, oinv_y, oinv_z = pk[p]['oinv']
         row = nodes_ref[pl.ds(v, 1), :]
 
         def bc(lane):
@@ -123,7 +147,7 @@ def _kernel(nodes_hbm, tris_hbm,
             r = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
             return pltpu.repeat(r, 8, 0)
 
-        t_cur = t_ref[:]
+        t_cur = t_ref[sl, :]
         rows = []
         for ch in range(8):
             tx0 = bc(ch) * inv_x - oinv_x
@@ -150,6 +174,7 @@ def _kernel(nodes_hbm, tris_hbm,
         # axis; pops are LIFO). Empty slots (meta == 0) are rejected on
         # the scalar unit -- their inverted boxes can geometrically pass
         # the symmetric slab test for negative inv_dir.
+        fwd = pk[p]['fwd']
         ax = nodes_ref[v, AXIS_LANE]
         flip = jnp.where(ax == 0.0, fwd[0],
                          jnp.where(ax == 1.0, fwd[1], fwd[2]))
@@ -162,14 +187,17 @@ def _kernel(nodes_hbm, tris_hbm,
 
             @pl.when(ok)
             def _():
-                stack_ref[sp] = m.astype(jnp.int32)
+                stack_ref[p, sp] = m.astype(jnp.int32)
 
             sp = jnp.where(ok, sp + 1, sp)
-        sp_ref[0] = sp
+        sp_ref[p] = sp
 
-    def leaf(v):
+    def leaf(p, v):
         if stats:
             ct_ref[1] = ct_ref[1] + 1
+        sl = pk[p]['sl']
+        ox, oy, oz = pk[p]['o']
+        dx, dy, dz = pk[p]['d']
         u = -v
         count = jax.lax.rem(u, LEAF_ENC)
         leaf_row = jax.lax.div(u, LEAF_ENC)
@@ -179,11 +207,11 @@ def _kernel(nodes_hbm, tris_hbm,
             r = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
             return pltpu.repeat(r, 8, 0)
 
-        t = t_ref[:]
-        face = face_ref[:]
-        fu_best = fu_ref[:]
-        fv_best = fv_ref[:]
-        shp = shp_ref[:]
+        t = t_ref[sl, :]
+        face = face_ref[sl, :]
+        fu_best = fu_ref[sl, :]
+        fv_best = fv_ref[sl, :]
+        shp = shp_ref[sl, :]
 
         for k in range(8):
             b = GEOM5_STRIDE * k
@@ -213,32 +241,42 @@ def _kernel(nodes_hbm, tris_hbm,
             fv_best = jnp.where(ok, fv, fv_best)
             shp = jnp.where(ok, bc(b + 9).astype(jnp.int32), shp)
 
-        t_ref[:] = t
-        face_ref[:] = face
-        fu_ref[:] = fu_best
-        fv_ref[:] = fv_best
-        shp_ref[:] = shp
+        t_ref[sl, :] = t
+        face_ref[sl, :] = face
+        fu_ref[sl, :] = fu_best
+        fv_ref[sl, :] = fv_best
+        shp_ref[sl, :] = shp
+
+    def pop_one(p):
+        sp = sp_ref[p]
+
+        @pl.when(sp > 0)
+        def _():
+            sp1 = sp - 1
+            v = stack_ref[p, sp1]
+            sp_ref[p] = sp1
+
+            @pl.when(v >= 0)
+            def _():
+                interior(p, v, sp1)
+
+            @pl.when(v < 0)
+            def _():
+                leaf(p, v)
 
     def body(_):
         if stats:
             ct_ref[2] = ct_ref[2] + 1
-        sp = sp_ref[0]
-        sp1 = sp - 1
-        v = stack_ref[sp1]
-        sp_ref[0] = sp1
+        for p in range(P):
+            pop_one(p)
+        total = sp_ref[0]
+        for p in range(1, P):
+            total = total + sp_ref[p]
+        return total
 
-        @pl.when(v >= 0)
-        def _():
-            interior(v, sp1)
-
-        @pl.when(v < 0)
-        def _():
-            leaf(v)
-
-        return sp_ref[0]
-
-    jax.lax.while_loop(lambda t: t > 0, body, jnp.int32(1))
+    jax.lax.while_loop(lambda t: t > 0, body, jnp.int32(P))
     if stats:
+
         li = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         ri = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         vals = jnp.where(li == 0, ct_ref[0],
@@ -247,9 +285,10 @@ def _kernel(nodes_hbm, tris_hbm,
         stats_ref[:, :] = jnp.where(ri == 0, vals, 0)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', 'stats'))
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'stats', 'interleave'))
 def wide_trace5(nodes, tris_g, origin, direction, t_in,
-                interpret=False, stats=False):
+                interpret=False, stats=False, interleave=INTERLEAVE):
     """Trace rays against the flattened world-space wide BVH (v5).
 
     origin/direction: (3, N) world rays; t_in: (N,) reach. Returns
@@ -258,7 +297,7 @@ def wide_trace5(nodes, tris_g, origin, direction, t_in,
     barycentrics. Use resolve_wide_attributes for normals/uvs.
     """
     n = origin.shape[1]
-    group = PACKET_ROWS * 128
+    group = interleave * PACKET_ROWS * 128
     n_pad = -n % group
     if n_pad:
         # Far-away padding rays can never vote for any node.
@@ -268,10 +307,10 @@ def wide_trace5(nodes, tris_g, origin, direction, t_in,
         t_in = jnp.pad(t_in, (0, n_pad))
     total = n + n_pad
     rows = total // 128
-    grid = rows // PACKET_ROWS
+    grid = rows // (interleave * PACKET_ROWS)
 
     def ray_block():
-        return pl.BlockSpec((PACKET_ROWS, 128), lambda i: (i, 0),
+        return pl.BlockSpec((interleave * PACKET_ROWS, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def table_block(arr):
@@ -290,15 +329,15 @@ def wide_trace5(nodes, tris_g, origin, direction, t_in,
         out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        functools.partial(_kernel, stats=stats),
+        functools.partial(_kernel, interleave=interleave, stats=stats),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(nodes), table_block(tris_g)]
         + [ray_block() for _ in range(7)],
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((interleave, STACK_DEPTH), jnp.int32),
+            pltpu.SMEM((interleave,), jnp.int32),
             pltpu.SMEM((3,), jnp.int32),
             pltpu.VMEM(nodes.shape, jnp.float32),
             pltpu.VMEM(tris_g.shape, jnp.float32),
