@@ -6,10 +6,11 @@ The headline metric is Mrays/s/chip on the flagship mesh scene (config 3:
 skybox) at 1080p, matching BASELINE.md's target definition; vs_baseline
 is against the 200 Mrays/s/chip north star. "configs" carries the full
 BASELINE.json config table (1: Cornell analytic, 2: sphere array with
-thin-lens DoF, 3: viking hall, 4: 360 mixed scene) with Mrays/s,
-samples/s and estimated time-to-64spp each. Config 5 (multi-mesh,
-pod-sharded accumulation) is exercised by __graft_entry__.dryrun_multichip
-on a virtual device mesh, not here (one physical chip).
+thin-lens DoF, 3: viking hall, 4: 360 mixed scene, 5: multi-mesh at 4K)
+with Mrays/s, samples/s and estimated time-to-64spp each. Config 5's
+pod-sharded accumulation itself is exercised by
+__graft_entry__.dryrun_multichip on a virtual device mesh; here it is
+timed single-chip at UHD.
 
 Every wavefront round traces exactly one ray per pixel lane (occupancy
 is kept full by in-place path regeneration), so rays = lanes * rounds.
@@ -32,17 +33,18 @@ TIMED_ROUNDS = 12
 CHUNK = 2  # rounds per device call (long single calls trip watchdogs)
 
 
-def bench_scene(name, scene, camera_model=0, tone=0):
+def bench_scene(name, scene, camera_model=0, tone=0,
+                width=WIDTH, height=HEIGHT, timed_rounds=TIMED_ROUNDS):
     import jax
     import jax.numpy as jnp
     from path_tracer_tpu import RenderConfig, SceneLayout, compile_scene
     from path_tracer_tpu.integrator.wavefront import render
 
     t0 = time.time()
-    packed = compile_scene(scene, aspect_ratio=WIDTH / HEIGHT)
+    packed = compile_scene(scene, aspect_ratio=width / height)
     layout = SceneLayout.from_packed(packed)
     faces = int(packed.face_positions.shape[2])
-    config = RenderConfig(width=WIDTH, height=HEIGHT,
+    config = RenderConfig(width=width, height=height,
                           camera_model=camera_model)
     print(f'# [{name}] compiled: {faces} tris in {time.time()-t0:.1f}s',
           file=sys.stderr)
@@ -65,19 +67,19 @@ def bench_scene(name, scene, camera_model=0, tone=0):
           f'{time.time()-t0:.1f}s', file=sys.stderr)
 
     t0 = time.time()
-    for _ in range(TIMED_ROUNDS // CHUNK):
+    for _ in range(timed_rounds // CHUNK):
         state = render(packed, config, CHUNK, layout=layout, state=state)
         jax.block_until_ready(state['accum']['xyz'])
     # Force execution of any deferred tail before stopping the clock.
     count = float(jnp.sum(state['accum']['count']))
     elapsed = time.time() - t0
 
-    lanes = WIDTH * HEIGHT
-    mrays = lanes * TIMED_ROUNDS / elapsed / 1e6
+    lanes = width * height
+    mrays = lanes * timed_rounds / elapsed / 1e6
     samples_s = (count - warm_count) / elapsed
     spp_rate = (count - warm_count) / lanes / elapsed  # spp per second
     t64 = 64.0 / spp_rate if spp_rate > 0 else float('inf')
-    print(f'# [{name}] {TIMED_ROUNDS} rounds in {elapsed:.2f}s: '
+    print(f'# [{name}] {timed_rounds} rounds in {elapsed:.2f}s: '
           f'{mrays:.2f} Mrays/s, {samples_s/1e6:.2f} Msamples/s, '
           f'time-to-64spp ~{t64:.0f}s', file=sys.stderr)
     return dict(mrays=round(mrays, 2),
@@ -89,6 +91,7 @@ def main():
     from path_tracer_tpu.scene.procedural import (
         make_360_scene,
         make_cornell_scene,
+        make_multi_mesh_scene,
         make_sphere_array_scene,
         make_viking_hall_scene,
     )
@@ -101,6 +104,12 @@ def main():
         '3_viking_hall', make_viking_hall_scene(detail=1))
     configs['4_360_mixed'] = bench_scene(
         '4_360_mixed', make_360_scene(), camera_model=2)
+    # Config 5 is defined as pod-sharded 4K accumulation; the sharded
+    # path is validated by __graft_entry__.dryrun_multichip on a virtual
+    # mesh. This row times the same scene single-chip at 4K (UHD).
+    configs['5_multi_mesh_4k'] = bench_scene(
+        '5_multi_mesh_4k', make_multi_mesh_scene(detail=1),
+        width=3840, height=2160, timed_rounds=6)
 
     headline = configs['3_viking_hall']['mrays']
     print(json.dumps({

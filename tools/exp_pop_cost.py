@@ -145,6 +145,48 @@ def main():
                         acc_t = acc_t + jnp.sum(
                             jnp.where(ok, ft, 0.0), axis=1, keepdims=True)
                     vacc2 = acc_t
+                if variant in ('splat8', 'splat8_dep'):
+                    # v5-style interior: splat redistribution + full
+                    # (8,128) slab + mask crossing. The _dep variant
+                    # feeds the mask back into the next node index, so
+                    # the crossing latency serializes the pop chain the
+                    # way the real traversal does.
+                    from jax.experimental.pallas import tpu as _pltpu
+                    row = nodes_ref[pl.ds(v2, 1), :]
+
+                    def bcf(lane):
+                        r = jnp.broadcast_to(row[:, lane:lane + 1],
+                                             (1, 128))
+                        return _pltpu.repeat(r, 8, 0)
+
+                    t_cur = ox + 1e6
+                    rows8 = []
+                    for ch in range(8):
+                        tx0 = bcf(ch) * inv - oinv
+                        ty0 = bcf(8 + ch) * inv - oinv
+                        tz0 = bcf(16 + ch) * inv - oinv
+                        tx1 = bcf(24 + ch) * inv - oinv
+                        ty1 = bcf(32 + ch) * inv - oinv
+                        tz1 = bcf(40 + ch) * inv - oinv
+                        entry = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1),
+                                        jnp.minimum(ty0, ty1)),
+                            jnp.minimum(tz0, tz1))
+                        exit_ = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+                        ok = (exit_ >= entry) & (exit_ > 0.0) & (entry < t_cur)
+                        rows8.append(jnp.min(jnp.where(ok, entry, 1e9),
+                                             axis=0, keepdims=True))
+                    ents = jnp.min(jnp.concatenate(rows8, axis=0), axis=1,
+                                   keepdims=True)
+                    hit8 = ents < 0.5e9
+                    mask = jnp.sum(jnp.where(hit8, pow2, 0.0)).astype(jnp.int32)
+                    if variant == 'splat8_dep':
+                        v2 = jax.lax.rem(v2 + mask, w)
+                        v2 = jnp.where(v2 < 0, v2 + w, v2)
+                    acc2m = acc + mask
                 if variant == 'v3_leaf':
                     # Leaf-shaped pop: two row fetches + 8 Moller-Trumbore
                     # on (8,128) rays + best-hit updates (v3's leaf body,
@@ -221,6 +263,8 @@ def main():
                             jnp.where(hit, pow2, 0.0)).astype(jnp.int32)
 
                 acc2 = acc
+                if variant in ('splat8', 'splat8_dep'):
+                    acc2 = acc + mask
                 if variant in ('full',):
                     ax = nodes_ref[v2, AXIS_LANE]
                     flip = ax >= 1.0
@@ -255,8 +299,7 @@ def main():
 
     fake = jnp.zeros((8, 128), jnp.float32)
     results = {}
-    for variant in ('empty', 'no_vec', 'no_push', 'no_cross', 'full',
-                    'outer_only', 'outer64', 'v3_leaf', 'v5_leaf', 'splat48'):
+    for variant in ('splat8', 'splat8_dep', 'v5_leaf', 'full'):
         f = jax.jit(functools.partial(
             pl.pallas_call,
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
