@@ -642,7 +642,7 @@ def trace(packed, layout: SceneLayout, origin, direction,
 
     Mesh instances use the Pallas wide-BVH packet kernel on TPU
     whenever the flattened world-space tables fit VMEM
-    (ops/trace_wide.py) -- one kernel launch for all instances; the
+    (ops/trace_packet.py) -- one kernel launch for all instances; the
     portable XLA per-lane traversal is the fallback (and the CPU/test
     path).
     """
