@@ -91,6 +91,9 @@ class SceneLayout:
     # Whether the precomputed 2x2-quad atlas exists (small atlases):
     # bilinear taps then cost one gather instead of four.
     atlas_quad_fit: bool = False
+    # Static count of world-space triangles in the wide tables; drives
+    # the sort-pays-for-itself heuristic in integrator.wavefront.
+    wide_faces: int = 0
     # Whether the flattened wide-BVH tables fit the packet kernel's
     # VMEM budget (decided from array *shapes* only -- no readbacks).
     wide_fit: bool = False
@@ -135,6 +138,7 @@ class SceneLayout:
             texture_filter_modes=_filter_modes_from_flags(
                 np.asarray(packed.texture_flags)),
             atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
+            wide_faces=int(packed.wide_tris_g.shape[0]) * 8,
             wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
                                                   packed.wide_tris_g),
             material_types=tuple(sorted(int(t) for t in set(referenced))),
@@ -190,6 +194,7 @@ def build_layout_host(scene, packed):
             [t.enable_nearest_filtering for t in scene.textures
              if t.pixels is not None]),
         atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
+        wide_faces=int(packed.wide_tris_g.shape[0]) * 8,
         wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
                                               packed.wide_tris_g),
         material_types=tuple(sorted(mat_types)),
