@@ -97,7 +97,7 @@ def dump_wide_bvh(packed, max_depth=None, file=None):
     from ..scene.bvh8 import AXIS_LANE, LEAF_ENC, META_LANE
 
     out = file or sys.stdout
-    nodes = np.asarray(packed.wide_nodes)
+    nodes = np.asarray(packed.wide_nodes_g)
 
     def visit(w, depth):
         if max_depth is not None and depth > max_depth:
@@ -133,7 +133,7 @@ def bvh_statistics(packed):
     """Aggregate structure stats of the flattened wide BVH."""
     from ..scene.bvh8 import LEAF_ENC, META_LANE
 
-    nodes = np.asarray(packed.wide_nodes)
+    nodes = np.asarray(packed.wide_nodes_g)
     meta = nodes[:, META_LANE:META_LANE + 8]
     leaves = meta[meta < 0]
     counts = (-leaves).astype(np.int64) % LEAF_ENC
@@ -145,5 +145,5 @@ def bvh_statistics(packed):
         mean_leaf_size=float(counts.mean()) if counts.size else 0.0,
         mean_fanout=float((interior_children + leaves.size)
                           / max(nodes.shape[0], 1)),
-        tri_rows=int(np.asarray(packed.wide_tris).shape[0]),
+        tri_rows=int(np.asarray(packed.wide_tris_g).shape[0]),
     )
