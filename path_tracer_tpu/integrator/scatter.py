@@ -227,11 +227,25 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
                     textured, atlas_size, types, filters, tex_attrs,
                     use_quad)
 
+    # Stochastic transparency: with probability (1 - opacity) the hit is
+    # a "ghost" -- the ray passes straight through the surface with no
+    # BSDF event, no emission, no medium bookkeeping and no roulette.
+    # The reference serializes/edits Opacity but never reads it in a
+    # shader (scene.hpp:193, openpbr.hpp:142); we wire it, statically
+    # gated so all-opaque scenes never pay the column gather.
+    has_opacity = layout.has_opacity if layout is not None else False
+    if has_opacity:
+        from ..models.common import _col
+        opacity = _col(packed.materials.opacity, hit['material'])  # (N,)
+        ghost = surface_event & (rng.uniform() >= opacity)
+    else:
+        ghost = jnp.zeros(hit['time'].shape, jnp.bool_)
+
     # Surface emission (OpenPBR area lights): accumulate on real exterior
     # hits before the BSDF extends the path. The reference packs emission
     # but leaves its accumulation disabled (openpbr.glsl.inc:294-298).
     emission_spec = dispatch.surface_emission(ctx, types)
-    emissive_hit = surface_event & is_real & hit_exterior
+    emissive_hit = surface_event & is_real & hit_exterior & ~ghost
     emit_contrib = jnp.einsum('ckn,kn->cn', observer,
                               emission_spec * throughput) / cluster_pdf
     sample = jnp.where(emissive_hit, sample + emit_contrib, sample)
@@ -289,8 +303,17 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
                               jnp.where(sky_hit, ray_direction, surf_dir))
     new_active = jnp.where(surface_event, new_active, active_shapes)
 
+    if has_opacity:
+        new_direction = jnp.where(ghost, ray_direction, new_direction)
+        new_origin = jnp.where(ghost,
+                               hit['position'] + 1e-3 * ray_direction,
+                               new_origin)
+        new_throughput = jnp.where(ghost, throughput, new_throughput)
+        new_probability = jnp.where(ghost, probability, new_probability)
+        new_active = jnp.where(ghost, active_shapes, new_active)
+
     alive = max4(new_probability) > EPSILON
-    alive &= jnp.where(surface_event, surf_valid & rr_survive, True)
+    alive &= jnp.where(surface_event & ~ghost, surf_valid & rr_survive, True)
     alive &= ~sky_hit
 
     new_state = dict(

@@ -94,6 +94,10 @@ class SceneLayout:
     # Static count of world-space triangles in the wide tables; drives
     # the sort-pays-for-itself heuristic in integrator.wavefront.
     wide_faces: int = 0
+    # Any material with opacity < 1: enables the stochastic-transparency
+    # pass-through in the scatter stage (the reference serializes and
+    # edits Opacity but never reads it in a shader; we wire it).
+    has_opacity: bool = False
     # Whether the flattened wide-BVH tables fit the packet kernel's
     # VMEM budget (decided from array *shapes* only -- no readbacks).
     wide_fit: bool = False
@@ -139,6 +143,7 @@ class SceneLayout:
                 np.asarray(packed.texture_flags)),
             atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
             wide_faces=int(packed.wide_tris_g.shape[0]) * 8,
+            has_opacity=bool((np.asarray(packed.materials.opacity) < 1.0).any()),
             wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
                                                   packed.wide_tris_g),
             material_types=tuple(sorted(int(t) for t in set(referenced))),
@@ -195,6 +200,8 @@ def build_layout_host(scene, packed):
              if t.pixels is not None]),
         atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
         wide_faces=int(packed.wide_tris_g.shape[0]) * 8,
+        has_opacity=any(getattr(m, 'opacity', 1.0) < 1.0
+                        for m in scene.materials),
         wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
                                               packed.wide_tris_g),
         material_types=tuple(sorted(mat_types)),

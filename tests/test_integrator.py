@@ -114,3 +114,39 @@ def test_metal_sphere_reflects_not_absorbs():
     # A 0.9-reflectance mirror sphere in a furnace should be close to the
     # sky value but slightly darker.
     assert 0.5 * sky < center <= 1.05 * sky
+
+
+@pytest.mark.slow
+def test_opacity_stochastic_transparency():
+    """A sphere with opacity 0 must be invisible (rays pass through to
+    the sky); opacity 1 blocks. The reference serializes Opacity but its
+    shaders never read it -- we wire it as stochastic transparency."""
+    from path_tracer_tpu.core.constants import MATERIAL_TYPE_BASIC_DIFFUSE
+    from path_tracer_tpu.scene.model import (
+        ENTITY_TYPE_CAMERA, ENTITY_TYPE_SPHERE, Scene, Transform)
+
+    def img_for(opacity):
+        scene = Scene()
+        m = scene.create_material(MATERIAL_TYPE_BASIC_DIFFUSE,
+                                  base_color=np.asarray([0.05, 0.05, 0.05]),
+                                  opacity=opacity)
+        scene.create_entity(ENTITY_TYPE_SPHERE, material=m,
+                            transform=Transform(position=[0, 2.5, 0]))
+        cam = scene.create_entity(
+            ENTITY_TYPE_CAMERA,
+            transform=Transform(position=[0, -1.5, 0],
+                                rotation=[np.pi / 2, 0, 0]))
+        cam.pinhole.field_of_view_in_degrees = 40.0
+        return np.asarray(render_scene(scene, width=24, height=12,
+                                       spp_rounds=80, seed=1))
+
+    solid = img_for(1.0)
+    clear = img_for(0.0)
+    half = img_for(0.5)
+    sky = clear[0, 0].mean()
+    # Fully transparent: the sphere's pixel matches the sky.
+    assert abs(clear[6, 12].mean() - sky) < 0.25 * sky
+    # Fully opaque dark sphere: much darker than sky.
+    assert solid[6, 12].mean() < 0.5 * sky
+    # Half opacity sits in between.
+    assert solid[6, 12].mean() < half[6, 12].mean() < clear[6, 12].mean()
