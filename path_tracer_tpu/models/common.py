@@ -264,7 +264,9 @@ def fetch_ctx(packed, material_index, lam, uv, exterior_ior,
             coat_ior=_col(m.coat_ior, i),
             coat_roughness=_col(m.coat_roughness, i),
             coat_roughness_anisotropy=_col(m.coat_roughness_anisotropy, i),
-            coat_darkening=_col(m.coat_darkening, i),
+            # coat_darkening stays in the table for serialization parity
+            # but is gathered by no model (the reference declares
+            # OPENPBR_COAT_DARKENING and likewise never reads it).
             emission_reflectance=texturable_reflectance(
                 packed, _col(m.emission_spectrum, i),
                 _col(m.emission_texture, i), lam, uv,
