@@ -287,7 +287,11 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
 
     surf_dir = normalize(in_dir[0] * hit['tangent'] + in_dir[1] * hit['bitangent']
                          + in_dir[2] * hit['normal'])
-    surf_origin = hit['position'] + 1e-3 * surf_dir
+    # Self-intersection offset scaled with hit distance: a fixed epsilon
+    # re-hits the same surface on tiny scenes and tunnels on grazing
+    # hits of huge ones.
+    surf_eps = jnp.maximum(1e-3, 1e-4 * hit['time'])
+    surf_origin = hit['position'] + surf_eps * surf_dir
 
     # --- merge branches -----------------------------------------------------
     new_throughput = jnp.where(
@@ -306,7 +310,7 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     if has_opacity:
         new_direction = jnp.where(ghost, ray_direction, new_direction)
         new_origin = jnp.where(ghost,
-                               hit['position'] + 1e-3 * ray_direction,
+                               hit['position'] + surf_eps * ray_direction,
                                new_origin)
         new_throughput = jnp.where(ghost, throughput, new_throughput)
         new_probability = jnp.where(ghost, probability, new_probability)

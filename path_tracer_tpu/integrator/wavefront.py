@@ -37,8 +37,8 @@ def _ray_sort_key(packed, origin, direction):
     and 6x faster traces than Morton-major (tools/diag_trace.py): a
     packet whose direction components span zero defeats both the
     near-first push order and any slab-sign coherence."""
-    lo = packed.tlas_min[:, 0]
-    hi = packed.tlas_max[:, 0]
+    lo = packed.scene_bounds[:, 0]
+    hi = packed.scene_bounds[:, 1]
     span = jnp.maximum(hi - lo, 1e-6)
     q = jnp.clip((origin - lo[:, None]) / span[:, None], 0.0, 1.0)
     cells = (q * 31.0).astype(jnp.int32)  # (3, N), 5 bits each
@@ -108,18 +108,21 @@ class RenderConfig:
     camera_model: int = 0
     flags: int = RENDER_FLAG_ACCUMULATE | RENDER_FLAG_SAMPLE_JITTER
     rounds_per_call: int = 1
-    # Re-sort the whole path state by (origin Morton cell, direction
-    # octant) every round. XLA fuses the argsort+apply into one sort
-    # network (~1ms for 2M lanes x 28 operands), and coherent packets
-    # are what make the Pallas trace kernel fast on bounce rays.
+    # Re-sort the whole path state by (direction octant, origin Morton
+    # cell) every round: argsort of the key plus ONE packed row-gather
+    # of the whole state (_sort_state, ~90 ms at 2M lanes). Coherent
+    # packets are what make the Pallas trace kernel fast on bounce
+    # rays; wants_sort() gates it to scenes where it pays.
     sort_rays: bool = True
 
 
-# Below this many world triangles the coherence sort costs more than it
-# saves: measured at 1080p on the v5e chip, the 16k-triangle 360 scene
-# runs 13.6 Mrays/s unsorted vs 9.5 sorted, while the 41k-triangle
-# viking hall runs 4.9 sorted vs 3.7 unsorted. The ~85 ms/round sort is
-# amortized by traversal savings that grow with tree depth.
+# Below this many world triangle SLOTS (wide-leaf rows x 8, counting
+# padding -- SceneLayout.wide_face_slots) the coherence sort costs more
+# than it saves: measured at 1080p on the v5e chip, the 16k-triangle
+# (21.8k-slot) 360 scene runs 13.6 Mrays/s unsorted vs 9.5 sorted,
+# while the 41k-triangle viking hall runs 4.9 sorted vs 3.7 unsorted.
+# The ~85 ms/round sort is amortized by traversal savings that grow
+# with tree depth.
 SORT_MIN_FACES = 24_000
 
 
@@ -131,7 +134,7 @@ def wants_sort(config: RenderConfig, layout) -> bool:
     faster in place."""
     return bool(config.sort_rays and layout is not None
                 and layout.mesh_instances and layout.wide_fit
-                and layout.wide_faces >= SORT_MIN_FACES)
+                and layout.wide_face_slots >= SORT_MIN_FACES)
 
 
 def reset(packed, config: RenderConfig, seed, lane=None):
@@ -165,10 +168,11 @@ def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
     paths deposit their sample and respawn at their pixel
     (basic_scatter.glsl:344-359).
 
-    sort_each_round runs the coherence sort inside the round loop (one
-    compiled program). The single-chip driver instead alternates two
-    smaller programs (render() below); the sharded driver uses this flag
-    so sorting composes with shard_map (the sort is shard-local).
+    sort_each_round runs the coherence sort inside the round loop, so
+    sort + trace + scatter fuse into ONE compiled program per call.
+    Both drivers use it: render() below picks _render_sorted_jit
+    whenever wants_sort() says the sort pays; the sharded driver sets
+    it so sorting composes with shard_map (the sort is shard-local).
     """
     rounds = config.rounds_per_call if rounds is None else rounds
 

@@ -136,12 +136,13 @@ class PackedScene:
     shape_world_from_object: Any  # (4, 4, S) float32 (lane axis last)
     shape_object_from_world: Any  # (4, 4, S) float32
 
-    # TLAS over shapes (agglomerative merge, scene.cpp:1402-1492).
-    tlas_min: Any               # (3, T)
-    tlas_max: Any               # (3, T)
-    tlas_child_a: Any           # (T,) int32; 0 when leaf
-    tlas_child_b: Any           # (T,) int32; 0 when leaf
-    tlas_shape: Any             # (T,) int32 shape index for leaves
+    # World AABB over all shapes (the root of the reference's TLAS,
+    # scene.cpp:1489): feeds the coherence sort's Morton cells. The
+    # interior TLAS nodes have no device consumer -- the flattened wide
+    # BVH subsumes the TLAS's traversal role (scene/bvh8.py) -- so only
+    # the bounds are packed (_build_tlas builds the full tree for the
+    # instancing top level).
+    scene_bounds: Any           # (3, 2) float32 [:, 0]=lo [:, 1]=hi
 
     # Mesh geometry (all meshes concatenated, indices rebased).
     face_positions: Any         # (3 verts, 3 comps, F)
@@ -684,12 +685,13 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
                 shape_object_from_world=jnp.eye(4)[:, :, None],
             )
 
-        tl_min, tl_max, tl_a, tl_b, tl_shape = _build_tlas(bounds_lo, bounds_hi)
-        out.update(
-            tlas_min=jnp.asarray(tl_min), tlas_max=jnp.asarray(tl_max),
-            tlas_child_a=jnp.asarray(tl_a), tlas_child_b=jnp.asarray(tl_b),
-            tlas_shape=jnp.asarray(tl_shape),
-        )
+        if bounds_lo:
+            lo = np.min(np.stack(bounds_lo), axis=0)
+            hi = np.max(np.stack(bounds_hi), axis=0)
+        else:
+            lo, hi = np.zeros(3, np.float32), np.zeros(3, np.float32)
+        out['scene_bounds'] = jnp.asarray(
+            np.stack([lo, hi], axis=-1).astype(np.float32))
 
         from . import bvh8
         wide, world_tris = _build_wide_tables(instances)

@@ -74,8 +74,8 @@ def test_scene_json_roundtrip(tmp_path):
     # The loaded scene must compile and trace identically.
     packed_a = compile_scene(scene)
     packed_b = compile_scene(loaded)
-    np.testing.assert_allclose(np.asarray(packed_a.tlas_min),
-                               np.asarray(packed_b.tlas_min), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(packed_a.scene_bounds),
+                               np.asarray(packed_b.scene_bounds), atol=1e-5)
 
 
 def test_reference_schema_fixture():
