@@ -91,9 +91,12 @@ class SceneLayout:
     # Whether the precomputed 2x2-quad atlas exists (small atlases):
     # bilinear taps then cost one gather instead of four.
     atlas_quad_fit: bool = False
-    # Static count of world-space triangles in the wide tables; drives
-    # the sort-pays-for-itself heuristic in integrator.wavefront.
-    wide_faces: int = 0
+    # Static count of world-space triangle SLOTS in the wide tables
+    # (leaf rows x 8, INCLUDING padding slots -- sparsely filled leaves
+    # inflate this above the true face count). Drives the
+    # sort-pays-for-itself heuristic in integrator.wavefront, whose
+    # SORT_MIN_FACES threshold is calibrated in these slot units.
+    wide_face_slots: int = 0
     # Any material with opacity < 1: enables the stochastic-transparency
     # pass-through in the scatter stage (the reference serializes and
     # edits Opacity but never reads it in a shader; we wire it).
@@ -142,7 +145,7 @@ class SceneLayout:
             texture_filter_modes=_filter_modes_from_flags(
                 np.asarray(packed.texture_flags)),
             atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
-            wide_faces=int(packed.wide_tris_g.shape[0]) * 8,
+            wide_face_slots=int(packed.wide_tris_g.shape[0]) * 8,
             has_opacity=bool((np.asarray(packed.materials.opacity) < 1.0).any()),
             wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
                                                   packed.wide_tris_g),
@@ -199,7 +202,7 @@ def build_layout_host(scene, packed):
             [t.enable_nearest_filtering for t in scene.textures
              if t.pixels is not None]),
         atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
-        wide_faces=int(packed.wide_tris_g.shape[0]) * 8,
+        wide_face_slots=int(packed.wide_tris_g.shape[0]) * 8,
         has_opacity=any(getattr(m, 'opacity', 1.0) < 1.0
                         for m in scene.materials),
         wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
@@ -668,11 +671,11 @@ def trace(packed, layout: SceneLayout, origin, direction,
     hit = intersect_analytic(packed, layout, origin, direction, hit)
 
     if layout.mesh_instances and use_packet:
-        t, face, fu, fv, shp = trace_packet.wide_trace5(
+        t, face, fu, fv = trace_packet.wide_trace5(
             packed.wide_nodes_g, packed.wide_tris_g, origin, direction,
             hit['time'], interpret=interpret)
         improved = face >= 0
-        normal, uv = trace_packet.resolve_wide_attributes(
+        normal, uv, shp = trace_packet.resolve_wide_attributes(
             packed.wide_attrs, face, fu, fv)
         hit = dict(
             time=jnp.where(improved, t, hit['time']),

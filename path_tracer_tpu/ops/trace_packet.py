@@ -14,13 +14,15 @@ on-chip pop-cost ablation (tools/exp_pop_cost.py, cycles/pop at
     measured ~170 cycles cheaper per interior pop than the K=1
     contraction (the matmul carries ~300 cycles of fixed machinery).
   * GEOMETRY-ONLY LEAVES: one 128-lane row holds all 8 leaf triangles
-    (16-lane stride: p0 e1 e2 shape; scene/bvh8.py pack_wide_geom), so
-    a leaf pop is ONE fetch and pure Moller-Trumbore. The kernel
-    returns (t, face slot, fu, fv, shape); vertex attributes (normals,
-    uvs) live in a cold HBM side table gathered once per trace for the
-    winners (resolve_wide_attributes) instead of being redistributed on
-    every leaf pop -- leaves are ~60% of bounce pops and previously paid
-    two outers each.
+    (16-lane stride: p0 e1 e2; scene/bvh8.py pack_wide_geom), so a
+    leaf ROW is ONE fetch and pure Moller-Trumbore; leaves span up to
+    LEAF_MAX/8 rows, later rows predicated on the leaf count (a row
+    costs far less than a fresh pop's fixed scalar overhead). The
+    kernel returns (t, face slot, fu, fv); vertex attributes (normals,
+    uvs, shape index) live in a cold HBM side table gathered once per
+    trace for the winners (resolve_wide_attributes) instead of being
+    redistributed on every leaf pop -- leaves are ~60% of bounce pops
+    and previously paid two outers each.
   * Everything else matches v3: 1024-ray packets, exact per-ray slab
     tests with reach culling, one 8-bit mask crossing per interior pop,
     near-first push order flipped by the packet's mean direction sign,
@@ -35,6 +37,14 @@ packets per kernel instance left sorted-bounce time EXACTLY flat
 round-robin structure itself introduced at interleave=1. The real
 kernel's instruction window already hides what the ablation exposed;
 INTERLEAVE=2 is kept as the neutral default.
+
+Negative result (measured, then retired -- the v4 kernel, in git
+history as ops/trace_wide_t.py): 128-ray sub-packets with triangles/
+children on the SUBLANE axis, so one (8, 128) op tests 8 children (or
+8 leaf triangles) against 128 rays. Vector issues per pop drop ~7x on
+interiors, but per-ray pop count grows 2.45x on real sorted bounce
+rays and the fixed ~350-cycle pop overhead (scalar crossing + fetch
+latency) dominates either way: net slower than v5 on every workload.
 
 Negative result (measured, then reverted): a two-phase variant --
 stack holds only interior nodes, leaf children queue in SMEM and drain
@@ -54,7 +64,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.bvh8 import AXIS_LANE, BIG, GEOM5_STRIDE, LEAF_ENC, META_LANE
+from ..scene.bvh8 import (
+    AXIS_LANE, BIG, GEOM5_STRIDE, LEAF_ENC, LEAF_MAX, META_LANE)
 
 PACKET_ROWS = 8          # packet = 8 x 128 = 1024 rays
 INTERLEAVE = 2           # independent packets per kernel instance
@@ -73,8 +84,8 @@ def tables_fit_vmem(nodes, tris_g):
 
 def _kernel(nodes_hbm, tris_hbm,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_in_ref,
-            t_ref, face_ref, fu_ref, fv_ref, shp_ref, *rest,
-            interleave, stats):
+            t_ref, face_ref, fu_ref, fv_ref, *rest,
+            interleave, stats, leaf_rows):
     if stats:
         stats_ref = rest[0]
         rest = rest[1:]
@@ -122,7 +133,6 @@ def _kernel(nodes_hbm, tris_hbm,
     zeros = jnp.zeros_like(t_in_ref[:])
     fu_ref[:] = zeros
     fv_ref[:] = zeros
-    shp_ref[:] = jnp.zeros_like(face_ref)
     for p in range(P):
         stack_ref[p, 0] = jnp.int32(0)
         sp_ref[p] = jnp.int32(1)
@@ -201,51 +211,59 @@ def _kernel(nodes_hbm, tris_hbm,
         u = -v
         count = jax.lax.rem(u, LEAF_ENC)
         leaf_row = jax.lax.div(u, LEAF_ENC)
-        row = tris_ref[pl.ds(leaf_row, 1), :]
 
-        def bc(lane):
-            r = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
-            return pltpu.repeat(r, 8, 0)
+        def do_row(r):
+            row = tris_ref[pl.ds(leaf_row + r, 1), :]
 
-        t = t_ref[sl, :]
-        face = face_ref[sl, :]
-        fu_best = fu_ref[sl, :]
-        fv_best = fv_ref[sl, :]
-        shp = shp_ref[sl, :]
+            def bc(lane):
+                q = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
+                return pltpu.repeat(q, 8, 0)
 
-        for k in range(8):
-            b = GEOM5_STRIDE * k
-            p0x, p0y, p0z = bc(b), bc(b + 1), bc(b + 2)
-            e1x, e1y, e1z = bc(b + 3), bc(b + 4), bc(b + 5)
-            e2x, e2y, e2z = bc(b + 6), bc(b + 7), bc(b + 8)
+            t = t_ref[sl, :]
+            face = face_ref[sl, :]
+            fu_best = fu_ref[sl, :]
+            fv_best = fv_ref[sl, :]
 
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            ok = jnp.abs(det) >= 1e-9
-            inv_det = 1.0 / jnp.where(ok, det, 1.0)
-            sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
-            fu = inv_det * (sx * pvx + sy * pvy + sz * pvz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            fv = inv_det * (dx * qx + dy * qy + dz * qz)
-            ft = inv_det * (e2x * qx + e2y * qy + e2z * qz)
-            ok &= (fu >= 0.0) & (fu <= 1.0) & (fv >= 0.0) & (fu + fv <= 1.0)
-            ok &= (ft >= 0.0) & (ft < t) & (count > k)
+            for k in range(8):
+                b = GEOM5_STRIDE * k
+                p0x, p0y, p0z = bc(b), bc(b + 1), bc(b + 2)
+                e1x, e1y, e1z = bc(b + 3), bc(b + 4), bc(b + 5)
+                e2x, e2y, e2z = bc(b + 6), bc(b + 7), bc(b + 8)
 
-            t = jnp.where(ok, ft, t)
-            face = jnp.where(ok, leaf_row * 8 + k, face)
-            fu_best = jnp.where(ok, fu, fu_best)
-            fv_best = jnp.where(ok, fv, fv_best)
-            shp = jnp.where(ok, bc(b + 9).astype(jnp.int32), shp)
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) >= 1e-9
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+                fu = inv_det * (sx * pvx + sy * pvy + sz * pvz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                fv = inv_det * (dx * qx + dy * qy + dz * qz)
+                ft = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                ok &= (fu >= 0.0) & (fu <= 1.0) & (fv >= 0.0) \
+                    & (fu + fv <= 1.0)
+                ok &= (ft >= 0.0) & (ft < t) & (count > 8 * r + k)
 
-        t_ref[sl, :] = t
-        face_ref[sl, :] = face
-        fu_ref[sl, :] = fu_best
-        fv_ref[sl, :] = fv_best
-        shp_ref[sl, :] = shp
+                t = jnp.where(ok, ft, t)
+                face = jnp.where(ok, (leaf_row + r) * 8 + k, face)
+                fu_best = jnp.where(ok, fu, fu_best)
+                fv_best = jnp.where(ok, fv, fv_best)
+
+            t_ref[sl, :] = t
+            face_ref[sl, :] = face
+            fu_ref[sl, :] = fu_best
+            fv_ref[sl, :] = fv_best
+
+        do_row(0)
+        # Rows past the first exist only for leaves whose count spills
+        # over; predicated so short leaves pay one fetch+test block.
+        for r in range(1, leaf_rows):
+            @pl.when(count > 8 * r)
+            def _(r=r):
+                do_row(r)
 
     def pop_one(p):
         sp = sp_ref[p]
@@ -286,15 +304,19 @@ def _kernel(nodes_hbm, tris_hbm,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('interpret', 'stats', 'interleave'))
+                   static_argnames=('interpret', 'stats', 'interleave',
+                                    'leaf_rows'))
 def wide_trace5(nodes, tris_g, origin, direction, t_in,
-                interpret=False, stats=False, interleave=INTERLEAVE):
+                interpret=False, stats=False, interleave=INTERLEAVE,
+                leaf_rows=LEAF_MAX // 8):
     """Trace rays against the flattened world-space wide BVH (v5).
 
     origin/direction: (3, N) world rays; t_in: (N,) reach. Returns
-    (t, face, fu, fv, shape): face is the slot into the attribute side
-    table (-1 where nothing closer was hit), (fu, fv) the winning
-    barycentrics. Use resolve_wide_attributes for normals/uvs.
+    (t, face, fu, fv): face is the slot into the attribute side table
+    (-1 where nothing closer was hit), (fu, fv) the winning
+    barycentrics. Use resolve_wide_attributes for normals/uvs/shape.
+    leaf_rows must be >= the max rows any leaf in `tris_g` spans
+    (LEAF_MAX/8 for tables from the default build).
     """
     n = origin.shape[1]
     group = interleave * PACKET_ROWS * 128
@@ -313,26 +335,26 @@ def wide_trace5(nodes, tris_g, origin, direction, t_in,
         return pl.BlockSpec((interleave * PACKET_ROWS, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    def table_block(arr):
-        return pl.BlockSpec(memory_space=pltpu.ANY)
+    def table_block():
+        return pl.BlockSpec(memory_space=pl.ANY)
 
     shape2 = (rows, 128)
     o = origin.reshape(3, rows, 128)
     d = direction.reshape(3, rows, 128)
 
     out_shapes = [jax.ShapeDtypeStruct(shape2, dt) for dt in
-                  (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
-                   jnp.int32)]
-    out_specs = [ray_block() for _ in range(5)]
+                  (jnp.float32, jnp.int32, jnp.float32, jnp.float32)]
+    out_specs = [ray_block() for _ in range(4)]
     if stats:
         out_shapes.append(jax.ShapeDtypeStruct((grid * 8, 128), jnp.int32))
         out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        functools.partial(_kernel, interleave=interleave, stats=stats),
+        functools.partial(_kernel, interleave=interleave, stats=stats,
+                          leaf_rows=leaf_rows),
         out_shape=tuple(out_shapes),
         grid=(grid,),
-        in_specs=[table_block(nodes), table_block(tris_g)]
+        in_specs=[table_block(), table_block()]
         + [ray_block() for _ in range(7)],
         out_specs=tuple(out_specs),
         scratch_shapes=[
@@ -351,19 +373,21 @@ def wide_trace5(nodes, tris_g, origin, direction, t_in,
     )(nodes, tris_g,
       o[0], o[1], o[2], d[0], d[1], d[2], t_in.reshape(shape2))
 
-    t, face, fu, fv, shp = (x.reshape(total)[:n] for x in out[:5])
+    t, face, fu, fv = (x.reshape(total)[:n] for x in out[:4])
     if stats:
-        return t, face, fu, fv, shp, out[5][::8, :3]
-    return t, face, fu, fv, shp
+        return t, face, fu, fv, out[4][::8, :3]
+    return t, face, fu, fv
 
 
 def resolve_wide_attributes(attrs, face, fu, fv):
-    """Barycentric-lerp normals/uvs for the winning faces.
+    """Barycentric-lerp normals/uvs + shape index for the winning faces.
 
     attrs: (slots, 16) cold side table; face (N,) slot or -1; fu/fv (N,).
     One row-gather for the whole wavefront replaces the per-leaf-pop
-    attribute redistribution the v3 kernel paid. Returns
-    (normal (3, N) unnormalized, uv (2, N)); zeros where face < 0.
+    attribute redistribution the v3 kernel paid (the shape index rides
+    the same row -- slot 15 -- so the kernel does not splat it either).
+    Returns (normal (3, N) unnormalized, uv (2, N), shape (N,) int32);
+    zeros / -1 where face < 0.
     """
     safe = jnp.where(face < 0, 0, face)
     rows = jnp.take(attrs, safe, axis=0).T          # (16, N)
@@ -371,4 +395,5 @@ def resolve_wide_attributes(attrs, face, fu, fv):
     normal = fw * rows[0:3] + fu * rows[3:6] + fv * rows[6:9]
     uv = fw * rows[9:11] + fu * rows[11:13] + fv * rows[13:15]
     ok = face >= 0
-    return jnp.where(ok, normal, 0.0), jnp.where(ok, uv, 0.0)
+    shape = jnp.where(ok, rows[15].astype(jnp.int32), -1)
+    return jnp.where(ok, normal, 0.0), jnp.where(ok, uv, 0.0), shape

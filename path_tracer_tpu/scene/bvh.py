@@ -39,7 +39,8 @@ def _half_area(lo, hi):
     return size[..., 0] * size[..., 1] + size[..., 1] * size[..., 2] + size[..., 2] * size[..., 0]
 
 
-def build_bvh_cached(tri_positions, max_leaf_faces=4, cache_dir=None):
+def build_bvh_cached(tri_positions, max_leaf_faces=4, cache_dir=None,
+                     spatial=False):
     """build_bvh with a content-addressed disk cache.
 
     The binned-SAH build is host-side numpy and this container has one
@@ -47,6 +48,12 @@ def build_bvh_cached(tri_positions, max_leaf_faces=4, cache_dir=None):
     (tests, benches, profiling runs) effectively free. Mirrors the
     reference's persistence of prebuilt BVH nodes in .mesh sidecars
     (serializer.cpp:269-309).
+
+    spatial=True requests the native SBVH (spatial splits; face_order
+    may be longer than the face count and contain duplicates -- see
+    native/bvh_builder.cpp build_sbvh). Requires the native library;
+    silently falls back to object splits without it (identical hit
+    results, fewer culling opportunities).
     """
     import hashlib
     import os
@@ -55,15 +62,19 @@ def build_bvh_cached(tri_positions, max_leaf_faces=4, cache_dir=None):
     key = hashlib.sha1(tris.tobytes()).hexdigest()[:16]
     cache_dir = cache_dir or os.path.join(
         os.path.dirname(__file__), '..', '..', 'data', 'bvh_cache')
-    path = os.path.join(cache_dir, f'{key}-{max_leaf_faces}.npz')
+    variant = '-s' if spatial else ''
+    path = os.path.join(cache_dir, f'{key}-{max_leaf_faces}{variant}.npz')
     if os.path.exists(path):
         z = np.load(path)
         return Bvh(z['node_min'], z['node_max'], z['a'], z['b'],
                    z['face_order'], int(z['depth']))
     # Prefer the native C++ builder (native/bvh_builder.cpp); fall back
     # to the numpy implementation below.
-    from .native import build_bvh_native
-    native = build_bvh_native(tris, max_leaf_faces)
+    from .native import build_bvh_native, build_sbvh_native
+    native = (build_sbvh_native(tris, max_leaf_faces) if spatial
+              else build_bvh_native(tris, max_leaf_faces))
+    if native is None and spatial:
+        native = build_bvh_native(tris, max_leaf_faces)
     if native is not None:
         bvh = Bvh(*native)
     else:

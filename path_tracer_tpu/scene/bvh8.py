@@ -12,11 +12,13 @@ cost per node *pop*, so the tree is reshaped for pop economy instead:
   * The binary SAH tree (native/bvh_builder.cpp) is collapsed into
     8-wide nodes: ~3x fewer pops, and one 128-lane node row holds all
     eight child boxes so a single fetch feeds the whole pop.
-  * Leaves are 4-triangle blocks aligned to 128-lane rows, so a leaf
-    pop is also a single row fetch. Subtrees of <= 4 faces collapse
-    into one leaf (the binary builder's ~1.1-face leaves are far too
-    fine for packet traversal, where all 1024 lanes test every
-    triangle anyway).
+  * Leaves hold up to LEAF_MAX faces in 128-lane rows of 8 (v5
+    layout) or 4 (v3 layout) triangles; rows past the first are
+    predicated on the leaf's count, so a leaf pop costs one fetch +
+    Moller-Trumbore per OCCUPIED row without a fresh pop's scalar
+    overhead (the binary builder's ~1.1-face leaves are far too fine
+    for packet traversal, where all 1024 lanes test every triangle
+    anyway).
 
 Node row layout (one float32 row of 128 lanes per wide node):
   lanes  0..47  child AABBs, coordinate-major: lo_x[0..7], lo_y[0..7],
@@ -51,10 +53,13 @@ BIG = 1.0e9            # box-miss sentinel; finite so slab math never NaNs
 WIDE_WIDTH = 8
 TRI_STRIDE = 32
 TRIS_PER_ROW = 4
-LEAF_MAX = 8           # triangles per leaf (LEAF_MAX/TRIS_PER_ROW rows)
-LEAF_ENC = 32          # leaf meta = -(tri_row * LEAF_ENC + count)
+LEAF_MAX = 16          # triangles per leaf (LEAF_MAX/8 v5 rows)
+LEAF_ENC = 64          # leaf meta = -(tri_row * LEAF_ENC + count)
 META_LANE = 48
 AXIS_LANE = 64
+# Relative cost of a leaf's 2nd..Nth row vs a full pop, for the DP
+# collapse's expected-pops objective (tools/exp_collapse.py).
+LEAF_ROW_COST = 0.5
 
 
 @dataclass
@@ -66,39 +71,19 @@ class WideBvh:
     num_leaves: int
 
 
-# --- Transposed (triangle-on-sublane) leaf layout for the v4 kernel -----
-#
-# The v4 kernel (ops/trace_wide_t.py) traces 128-ray sub-packets with
-# triangles riding the SUBLANE axis: one (8, 128) op tests all 8 leaf
-# triangles against all 128 rays. That needs leaf data laid out so the
-# outer-product redistribution (lane i -> broadcast row i) yields
-# (8, 128) tiles whose row k is triangle k's constant. Two rows per
-# leaf:
-#
-# Geometry row (lanes, 8 consecutive lanes per field, one per tri):
-#    0..23  p0.xyz      24..47 e1.xyz (p1-p0)    48..71 e2.xyz (p2-p0)
-#   72..79  shape index 80..87 face slot (index into face_map)
-# Attribute row:
-#    0..71  n0.xyz n1.xyz n2.xyz   72..119 uv0.uv uv1.uv uv2.uv
-#
-# Leaf meta in the transposed nodes table encodes the ROW PAIR:
-# -(pair_index * LEAF_ENC + count); geometry row = 2*pair_index.
-GEOM_P0, GEOM_E1, GEOM_E2, GEOM_SHAPE, GEOM_FACE = 0, 24, 48, 72, 80
-ATTR_N0, ATTR_N1, ATTR_N2, ATTR_UV = 0, 24, 48, 72
-
-
 # --- Geometry-only leaf layout for the v5 kernel ------------------------
 #
 # Measured on-chip (tools/exp_pop_cost.py): the dominant per-pop cost is
 # the lane->broadcast redistribution, so the v5 kernel (a) redistributes
 # with static single-lane splats instead of the K=1 contraction and
 # (b) keeps only what Moller-Trumbore needs in the hot table -- one
-# 128-lane row holds a whole 8-triangle leaf (16-lane stride per tri:
-# p0.xyz e1.xyz e2.xyz shape), one fetch per leaf pop. Vertex
-# attributes (normals, uvs) move to a cold (slots, 16) side table in
-# HBM, gathered ONCE per trace for the winning faces instead of being
-# redistributed on every leaf pop:
-#   [n0.xyz n1.xyz n2.xyz uv0.uv uv1.uv uv2.uv pad] per face slot.
+# 128-lane row holds 8 leaf triangles (16-lane stride per tri: p0.xyz
+# e1.xyz e2.xyz pad), one fetch per leaf ROW; leaves span up to
+# LEAF_MAX/8 consecutive rows, rows past the first predicated on the
+# leaf count. Vertex attributes (normals, uvs, shape index) move to a
+# cold (slots, 16) side table in HBM, gathered ONCE per trace for the
+# winning faces instead of being redistributed on every leaf pop:
+#   [n0.xyz n1.xyz n2.xyz uv0.uv uv1.uv uv2.uv pad shape] per slot.
 GEOM5_STRIDE = 16
 ATTR5_WIDTH = 16
 
@@ -109,10 +94,13 @@ def pack_wide_geom(wide: 'WideBvh',
 
     tri_* are in the CALLER's face order (wide.face_map indexes it).
     Returns (nodes_g, tris_g, attrs, face_map_g):
-      nodes_g  (W, 128)  wide.nodes with leaf metas re-encoded
-      tris_g   (L, 128)  one geometry row per leaf
-      attrs    (L*8, 16) per-face-slot attribute rows (HBM side table)
-      face_map_g (L*8,)  face slot -> caller face index (-1 padding)
+      nodes_g  (W, 128)  wide.nodes with leaf metas re-encoded as
+                         -(first_row * LEAF_ENC + count)
+      tris_g   (R, 128)  8-triangle geometry rows; a leaf of count
+                         faces spans ceil(count/8) consecutive rows
+      attrs    (R*8, 16) per-face-slot attribute rows (HBM side table;
+                         slot 15 carries the face's shape index)
+      face_map_g (R*8,)  face slot -> caller face index (-1 padding)
     """
     tri_positions = np.asarray(tri_positions, np.float32)
     tri_normals = np.asarray(tri_normals, np.float32)
@@ -126,83 +114,34 @@ def pack_wide_geom(wide: 'WideBvh',
     old_rows = (u // LEAF_ENC).astype(np.int64)
     counts = (u % LEAF_ENC).astype(np.int64)
 
-    leaves = len(old_rows)
-    tris_g = np.zeros((max(leaves, 1), 128), np.float32)
-    attrs = np.zeros((max(leaves, 1) * 8, ATTR5_WIDTH), np.float32)
-    face_map_g = np.full(max(leaves, 1) * 8, -1, np.int64)
-    new_metas = np.empty(leaves, np.float32)
+    total_rows = int(sum(-(-c // 8) for c in counts))
+    tris_g = np.zeros((max(total_rows, 1), 128), np.float32)
+    attrs = np.zeros((max(total_rows, 1) * 8, ATTR5_WIDTH), np.float32)
+    face_map_g = np.full(max(total_rows, 1) * 8, -1, np.int64)
+    new_metas = np.empty(len(old_rows), np.float32)
+    row0 = 0
     for leaf, (row, count) in enumerate(zip(old_rows, counts)):
-        g = tris_g[leaf]
         for k in range(count):
             src = wide.face_map[row * TRIS_PER_ROW + k]
             if src < 0:
                 continue
-            b = GEOM5_STRIDE * k
+            g = tris_g[row0 + k // 8]
+            b = GEOM5_STRIDE * (k % 8)
             p0, p1, p2 = tri_positions[src]
             g[b:b + 3] = p0
             g[b + 3:b + 6] = p1 - p0
             g[b + 6:b + 9] = p2 - p0
-            g[b + 9] = tri_shape[src]
-            slot = leaf * 8 + k
+            slot = row0 * 8 + k
             attrs[slot, 0:9] = tri_normals[src].reshape(9)
             attrs[slot, 9:15] = tri_uvs[src].reshape(6)
+            attrs[slot, 15] = tri_shape[src]
             face_map_g[slot] = src
-        new_metas[leaf] = np.float32(-(leaf * LEAF_ENC + count))
+        new_metas[leaf] = np.float32(-(row0 * LEAF_ENC + count))
+        row0 += -(-int(count) // 8)
 
     metas[leaf_mask] = new_metas
     nodes_g[:, META_LANE:META_LANE + WIDE_WIDTH] = metas
     return nodes_g, tris_g, attrs, face_map_g.astype(np.int32)
-
-
-def transpose_wide(wide: 'WideBvh',
-                   tri_positions, tri_normals, tri_uvs, tri_shape):
-    """Derive the v4 (transposed-leaf) tables from a packed WideBvh.
-
-    tri_* are in the CALLER's face order (wide.face_map indexes it).
-    Returns (nodes_t, tris_t): nodes_t is wide.nodes with leaf metas
-    re-encoded for the two-row-per-leaf table; tris_t is (2*L, 128).
-    """
-    tri_positions = np.asarray(tri_positions, np.float32)
-    tri_normals = np.asarray(tri_normals, np.float32)
-    tri_uvs = np.asarray(tri_uvs, np.float32)
-    tri_shape = np.asarray(tri_shape, np.float32)
-
-    nodes_t = wide.nodes.copy()
-    metas = nodes_t[:, META_LANE:META_LANE + WIDE_WIDTH]
-    leaf_mask = metas < 0.0
-    u = -metas[leaf_mask]
-    old_rows = (u // LEAF_ENC).astype(np.int64)
-    counts = (u % LEAF_ENC).astype(np.int64)
-
-    pairs = len(old_rows)
-    tris_t = np.zeros((max(2 * pairs, 2), 128), np.float32)
-    new_metas = np.empty(pairs, np.float32)
-    for pair, (row, count) in enumerate(zip(old_rows, counts)):
-        g = tris_t[2 * pair]
-        a = tris_t[2 * pair + 1]
-        for k in range(count):
-            slot = row * TRIS_PER_ROW + k
-            src = wide.face_map[slot]
-            if src < 0:
-                continue
-            p0, p1, p2 = tri_positions[src]
-            g[GEOM_P0 + k:GEOM_P0 + 24:8] = p0
-            g[GEOM_E1 + k:GEOM_E1 + 24:8] = p1 - p0
-            g[GEOM_E2 + k:GEOM_E2 + 24:8] = p2 - p0
-            g[GEOM_SHAPE + k] = tri_shape[src]
-            g[GEOM_FACE + k] = np.float32(slot)
-            n0, n1, n2 = tri_normals[src]
-            a[ATTR_N0 + k:ATTR_N0 + 24:8] = n0
-            a[ATTR_N1 + k:ATTR_N1 + 24:8] = n1
-            a[ATTR_N2 + k:ATTR_N2 + 24:8] = n2
-            for v in range(3):
-                a[ATTR_UV + 16 * v + k] = tri_uvs[src, v, 0]
-                a[ATTR_UV + 16 * v + 8 + k] = tri_uvs[src, v, 1]
-        new_metas[pair] = np.float32(-(pair * LEAF_ENC + count))
-
-    metas[leaf_mask] = new_metas
-    nodes_t[:, META_LANE:META_LANE + WIDE_WIDTH] = metas
-    return nodes_t, tris_t
 
 
 def _subtree_face_ranges(a, b):
@@ -220,6 +159,150 @@ def _subtree_face_ranges(a, b):
             lo[i] = min(lo[a[i]], lo[a[i] + 1])
             hi[i] = max(hi[a[i]], hi[a[i] + 1])
     return lo, hi
+
+
+def collapse_bvh2_sah(node_min, node_max, a, b, leaf_max=LEAF_MAX):
+    """DP-optimal 8-wide collapse of a binary BVH (Ylitie et al. 2017,
+    "Efficient Incoherent Ray Traversal on GPUs through Compressed Wide
+    BVHs", adapted to this kernel's cost model).
+
+    The packet kernel pays a roughly CONSTANT ~455 cycles per node pop
+    (interior or leaf, tools/exp_pop_cost.py), and a child of a wide
+    node is popped iff the packet's slab test hits its box -- i.e. with
+    probability proportional to the child's own surface area.  Expected
+    pops per random ray are therefore
+
+        sum over all chosen wide-subtree roots r of area(r) / area(root)
+
+    where a root is either a wide interior node or a leaf.  The DP
+    minimizes exactly that sum: cost[n][r] = minimal cost of
+    representing binary subtree n as a forest of at most r roots,
+
+        cost[n][1] = min(leaf(n),                   # count <= leaf_max
+                         area(n) + min_{i} cost[l][i] + cost[r][8-i])
+        leaf(n)    = area(n) * (1 + LEAF_ROW_COST * (ceil(count/8)-1))
+        cost[n][r] = min(cost[n][r-1],
+                         min_{i} cost[l][i] + cost[r][r-i])
+
+    evaluated leaves-up, vectorized per tree level.  Reconstruction
+    walks the recorded argmins.  Versus the greedy largest-area
+    expansion (collapse_bvh2 below) this cuts wide-node count and
+    expected pops 10-30% on real meshes.
+
+    Returns (children, axes) in the same format as collapse_bvh2.
+    """
+    node_min = np.asarray(node_min, np.float32)
+    node_max = np.asarray(node_max, np.float32)
+    a = np.asarray(a)
+    b = np.asarray(b)
+    n = len(a)
+    is_leaf = b > 0
+    flo, fhi = _subtree_face_ranges(a, b)
+    count = fhi - flo
+
+    size = np.maximum(node_max - node_min, 0.0).astype(np.float64)
+    area = (size[:, 0] * size[:, 1] + size[:, 1] * size[:, 2]
+            + size[:, 2] * size[:, 0])
+    # A leaf pop's rows past the first are predicated fetch+tests
+    # without a fresh pop's fixed scalar overhead -- charge them a
+    # fraction of a pop.
+    leaf_rows_cost = 1.0 + LEAF_ROW_COST * (np.ceil(count / 8.0) - 1.0)
+
+    if count[0] <= leaf_max:
+        children = [[('leaf', int(flo[0]), int(count[0]), 0)]
+                    if count[0] > 0 else []]
+        return children, [0]
+
+    # Tree levels (children are allocated after their parents).
+    depth = np.zeros(n, np.int32)
+    ai = a  # local alias
+    for i in range(n):
+        if not is_leaf[i]:
+            depth[ai[i]] = depth[i] + 1
+            depth[ai[i] + 1] = depth[i] + 1
+
+    INF = np.inf
+    cost = np.full((n, 9), INF)
+    split_l = np.zeros((n, 9), np.int8)   # 0 = single root at this node
+    j8 = np.zeros(n, np.int8)             # left budget of the 8-way dist
+    leaf1 = is_leaf.copy()                # C(n,1) chose leaf
+    cost[is_leaf, 1:] = (area[is_leaf] * leaf_rows_cost[is_leaf])[:, None]
+
+    order = np.argsort(depth[~is_leaf], kind='stable')
+    interior_idx = np.nonzero(~is_leaf)[0][order]
+    # Deepest levels first.
+    for d in range(int(depth.max()), -1, -1):
+        idx = interior_idx[depth[interior_idx] == d]
+        if idx.size == 0:
+            continue
+        L = cost[a[idx]]          # (k, 9)
+        R = cost[a[idx] + 1]
+        k = idx.size
+        merge_cost = np.full((k, 9), INF)
+        merge_arg = np.zeros((k, 9), np.int8)
+        for m in range(2, 9):
+            cands = np.stack([L[:, rl] + R[:, m - rl]
+                              for rl in range(1, m)], axis=1)
+            arg = cands.argmin(axis=1)
+            merge_cost[:, m] = cands[np.arange(k), arg]
+            merge_arg[:, m] = (arg + 1).astype(np.int8)
+
+        node_cost = area[idx] + merge_cost[:, 8]
+        leaf_ok = count[idx] <= leaf_max
+        leaf_cost = np.where(leaf_ok, area[idx] * leaf_rows_cost[idx], INF)
+        c1 = np.minimum(leaf_cost, node_cost)
+        leaf1[idx] = leaf_cost <= node_cost
+        j8[idx] = merge_arg[:, 8]
+        cost[idx, 1] = c1
+        for m in range(2, 9):
+            prev = cost[idx, m - 1]
+            better = merge_cost[:, m] < prev
+            cost[idx, m] = np.where(better, merge_cost[:, m], prev)
+            split_l[idx, m] = np.where(better, merge_arg[:, m],
+                                       split_l[idx, m - 1])
+
+    def roots_of(node, budget):
+        out = []
+        stack = [(node, budget)]
+        while stack:
+            m, r = stack.pop()
+            s = int(split_l[m, r])
+            if s == 0:
+                out.append(m)
+            else:
+                stack.append((int(a[m]), s))
+                stack.append((int(a[m]) + 1, r - s))
+        return out
+
+    children, axes = [], []
+    queue = deque()
+
+    def alloc(node):
+        idx = len(children)
+        children.append(None)
+        axes.append(0)
+        queue.append((idx, node))
+        return idx
+
+    alloc(0)
+    while queue:
+        w, nd = queue.popleft()
+        jl = int(j8[nd])
+        members = (roots_of(int(a[nd]), jl)
+                   + roots_of(int(a[nd]) + 1, 8 - jl))
+        cent = 0.5 * (node_min[members] + node_max[members])
+        axis = int(np.argmax(cent.max(axis=0) - cent.min(axis=0)))
+        members.sort(key=lambda m: 0.5 * (node_min[m][axis]
+                                          + node_max[m][axis]))
+        entries = []
+        for m in members:
+            if leaf1[m]:
+                entries.append(('leaf', int(flo[m]), int(count[m]), m))
+            else:
+                entries.append(('node', alloc(m), 0, m))
+        children[w] = entries
+        axes[w] = axis
+    return children, axes
 
 
 def collapse_bvh2(node_min, node_max, a, b, leaf_max=LEAF_MAX):
@@ -356,19 +439,23 @@ def pack_wide(children, axes, node_min, node_max,
 
 
 def build_wide_bvh(tri_positions, tri_normals, tri_uvs, tri_shape,
-                   leaf_max=LEAF_MAX):
+                   leaf_max=LEAF_MAX, collapse='sah', spatial=True):
     """World-space triangles -> packed wide BVH tables.
 
     tri_positions/tri_normals: (F, 3 verts, 3); tri_uvs: (F, 3, 2);
-    tri_shape: (F,) shape index per face.
+    tri_shape: (F,) shape index per face. collapse: 'sah' (DP-optimal,
+    default) or 'greedy' (kept for A/B measurement). spatial requests
+    SBVH spatial splits in the binary build (duplicated fragment
+    references; face_map then repeats source faces).
     """
     from .bvh import build_bvh_cached
 
     tri_positions = np.asarray(tri_positions, np.float32)
-    bvh = build_bvh_cached(tri_positions)
+    bvh = build_bvh_cached(tri_positions, spatial=spatial)
     order = bvh.face_order
-    children, axes = collapse_bvh2(bvh.node_min, bvh.node_max, bvh.a, bvh.b,
-                                   leaf_max=leaf_max)
+    collapse_fn = collapse_bvh2_sah if collapse == 'sah' else collapse_bvh2
+    children, axes = collapse_fn(bvh.node_min, bvh.node_max, bvh.a, bvh.b,
+                                 leaf_max=leaf_max)
     wide = pack_wide(children, axes, bvh.node_min, bvh.node_max,
                      tri_positions[order],
                      np.asarray(tri_normals, np.float32)[order],

@@ -50,6 +50,15 @@ def _load():
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
             ]
+            lib.build_sbvh.restype = ctypes.c_int
+            lib.build_sbvh.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
             _LIB = lib
         except (OSError, subprocess.CalledProcessError):
             _LIB = None
@@ -90,3 +99,47 @@ def build_bvh_native(tri_positions, max_leaf_faces=4):
     n = node_count.value
     return (node_min[:n].copy(), node_max[:n].copy(), node_a[:n].copy(),
             node_b[:n].copy(), face_order[:f].copy(), depth.value)
+
+
+def build_sbvh_native(tri_positions, max_leaf_faces=4, frag_budget=1.5):
+    """Native SBVH build (binned spatial splits, native/bvh_builder.cpp
+    build_sbvh). Fragments straddling a chosen split plane are clipped
+    and duplicated, up to frag_budget x the face count; face_order may
+    therefore be LONGER than the input and contain repeats. Returns the
+    scene.bvh.Bvh field tuple, or None if the native library is
+    unavailable (callers fall back to the object-split builder -- same
+    results, fewer culling opportunities).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    tris = np.ascontiguousarray(np.asarray(tri_positions, np.float32))
+    f = len(tris)
+    max_frags = int(f * frag_budget) + 64
+    max_nodes = max(2 * max_frags, 1)
+    node_min = np.empty((max_nodes, 3), np.float32)
+    node_max = np.empty((max_nodes, 3), np.float32)
+    node_a = np.empty(max_nodes, np.int32)
+    node_b = np.empty(max_nodes, np.int32)
+    face_order = np.empty(max(max_frags, 1), np.int32)
+    node_count = ctypes.c_int(0)
+    depth = ctypes.c_int(0)
+    frag_count = ctypes.c_int(0)
+
+    def ptr(arr, typ):
+        return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+    rc = lib.build_sbvh(
+        ptr(tris, ctypes.c_float), f, int(max_leaf_faces), max_frags,
+        ptr(node_min, ctypes.c_float), ptr(node_max, ctypes.c_float),
+        ptr(node_a, ctypes.c_int), ptr(node_b, ctypes.c_int),
+        ptr(face_order, ctypes.c_int),
+        ctypes.byref(node_count), ctypes.byref(depth),
+        ctypes.byref(frag_count))
+    if rc != 0:
+        return None
+
+    n = node_count.value
+    nf = frag_count.value if f else 0
+    return (node_min[:n].copy(), node_max[:n].copy(), node_a[:n].copy(),
+            node_b[:n].copy(), face_order[:nf].copy(), depth.value)

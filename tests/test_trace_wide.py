@@ -197,44 +197,6 @@ def test_packet_matches_portable_end_to_end():
     assert mat_same.all()
 
 
-def test_wide_trace_t_matches_v3():
-    """The transposed (v4) kernel must reproduce the v3 kernel's hits,
-    times, shapes and lerped attributes on random geometry."""
-    from path_tracer_tpu.ops import trace_wide_t
-
-    rng = np.random.default_rng(11)
-    tri, nrm, uv, shp = _random_geometry(rng, 300)
-    wide = bvh8.build_wide_bvh(tri, nrm, uv, shp)
-    nodes_t, tris_t = bvh8.transpose_wide(wide, tri, nrm, uv, shp)
-
-    n = 2048
-    o, d = _random_rays(rng, n)
-    t_in = np.full(n, 1e5, np.float32)
-    bt, bface = _brute_force(tri, o, d, t_in)
-
-    t3, f3, n3, uv3, s3 = trace_wide.wide_trace(
-        jnp.asarray(wide.nodes), jnp.asarray(wide.tris),
-        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_in), interpret=True)
-    t4, f4, n4, uv4, s4 = trace_wide_t.wide_trace_t(
-        jnp.asarray(nodes_t), jnp.asarray(tris_t),
-        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_in), interpret=True)
-
-    t4, f4, s4 = np.asarray(t4), np.asarray(f4), np.asarray(s4)
-    np.testing.assert_array_equal(f4 >= 0, bface >= 0)
-    m = f4 >= 0
-    np.testing.assert_allclose(t4[m], bt[m], rtol=2e-4, atol=2e-5)
-    got = wide.face_map[f4[m]]
-    assert (got == bface[m]).mean() > 0.99
-    assert (s4[m] == shp[got].astype(np.int32)).all()
-    # Attribute parity vs v3 on rays where both picked the same face.
-    same = m & (np.asarray(f3) == f4)
-    assert same[m].mean() > 0.98
-    np.testing.assert_allclose(np.asarray(n4)[:, same],
-                               np.asarray(n3)[:, same], rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(uv4)[:, same],
-                               np.asarray(uv3)[:, same], rtol=1e-3, atol=1e-4)
-
-
 def test_wide_trace5_matches_brute_force():
     """The v5 (splat + geometry-only leaf) kernel must reproduce brute
     force, and its gathered-attribute resolve must match v3's in-kernel
@@ -257,10 +219,10 @@ def test_wide_trace5_matches_brute_force():
     t3, f3, n3, uv3, s3 = trace_wide.wide_trace(
         jnp.asarray(wide.nodes), jnp.asarray(wide.tris),
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_in), interpret=True)
-    t5, f5, fu5, fv5, s5 = trace_packet.wide_trace5(
+    t5, f5, fu5, fv5 = trace_packet.wide_trace5(
         jnp.asarray(nodes_g), jnp.asarray(tris_g),
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_in), interpret=True)
-    n5, uv5 = trace_packet.resolve_wide_attributes(
+    n5, uv5, s5 = trace_packet.resolve_wide_attributes(
         jnp.asarray(attrs), f5, fu5, fv5)
 
     t5, f5, s5 = np.asarray(t5), np.asarray(f5), np.asarray(s5)
