@@ -45,6 +45,13 @@ class Session:
 
     # -- scene/camera mutation ------------------------------------------
 
+    def set_scene(self, scene):
+        """Replace the scene document (the editor's New/Open), full
+        recompile + restart."""
+        self.scene = scene
+        self.packed = None
+        self._recompile(full=True)
+
     def camera(self):
         cams = [e for e in self.scene.walk_entities()
                 if e.type == ENTITY_TYPE_CAMERA]

@@ -1,4 +1,4 @@
-"""Minimal interactive viewer: a progressive render streamed over HTTP.
+"""Interactive viewer + scene EDITOR: a progressive render over HTTP.
 
 The reference is an ImGui/GLFW editor window
 (/root/reference/src/application/imgui_main.cpp); this container has no
@@ -12,13 +12,26 @@ the Python stdlib HTTP server over an `app.Session`:
   * WASD/QE + arrow keys drive the camera fly-controls (-> /move, which
     restarts accumulation like application.cpp:86-89);
   * clicking the image mouse-picks the shape under the cursor (-> /pick,
-    the preview_render.cpp:96-116 query protocol) and shows its entity
-    name and material;
+    the preview_render.cpp:96-116 query protocol) and selects the
+    entity in the hierarchy panel;
   * a mode selector switches between the path-traced view and the
-    false-color preview modes (base color / shaded / normal / material /
-    primitive / complexity heatmaps, preview_render.glsl:96-178);
-  * tone-map and brightness controls mirror the reference's render
-    settings panel (imgui_main.cpp:846-899).
+    false-color preview modes (preview_render.glsl:96-178); tone-map
+    and brightness controls mirror the render settings panel
+    (imgui_main.cpp:846-899).
+
+Editor surface (the reference's imgui_main.cpp browsers + inspectors):
+
+  * GET  /scene                  hierarchy + materials + assets
+  * POST /entity/update          name / transform / material / camera
+  * POST /entity/create          {type, parent?, mesh?}   (:414-527)
+  * POST /entity/delete          {id}
+  * POST /material/update        {index, field, value}    (:212-412)
+  * POST /material/create        {type}                   (:609-664)
+  * POST /scene/save /scene/open {path}; /scene/new       (:926-967)
+
+Every mutation goes through the scene model's dirty flags, so the next
+/frame.png triggers the incremental recompile + accumulation restart
+exactly like an ImGui edit does in the reference.
 
 The HTTP server is single-threaded on purpose: requests serialize, so at
 most one JAX computation runs at a time.
@@ -28,6 +41,7 @@ Usage: python -m path_tracer_tpu view scene.json [--port 8000]
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -38,14 +52,60 @@ from ..utils.image import encode_png
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>path_tracer_tpu</title><style>
-body { background:#14161a; color:#d8dce2; font:13px system-ui; margin:0 }
-#bar { padding:8px 12px; display:flex; gap:12px; align-items:center }
+body { background:#14161a; color:#d8dce2; font:13px system-ui; margin:0;
+       display:flex; height:100vh }
+#side { width:300px; min-width:300px; overflow-y:auto; padding:8px;
+        border-right:1px solid #2a2e35 }
+#main { flex:1; display:flex; flex-direction:column }
+#bar { padding:8px 12px; display:flex; gap:12px; align-items:center;
+       flex-wrap:wrap }
 #view { display:block; margin:0 auto; image-rendering:pixelated;
-        outline:1px solid #2a2e35 }
+        outline:1px solid #2a2e35; max-width:100% }
 select,input,button { background:#1e2127; color:#d8dce2;
         border:1px solid #2a2e35; border-radius:4px; padding:2px 6px }
+input[type=number] { width:64px }
 #status { margin-left:auto; opacity:.75 }
+.ent { cursor:pointer; padding:1px 4px; border-radius:3px;
+       white-space:nowrap; overflow:hidden }
+.ent:hover { background:#1e2127 }
+.ent.sel { background:#2d4a6b }
+.insp { margin-top:8px; border-top:1px solid #2a2e35; padding-top:8px }
+.row { display:flex; gap:4px; margin:2px 0; align-items:center }
+.row label { width:110px; opacity:.8; overflow:hidden;
+             white-space:nowrap; font-size:12px }
+h4 { margin:8px 0 4px 0 }
 </style></head><body>
+<div id="side">
+  <div class="row">
+    <button id="newscene">New</button>
+    <input id="scenepath" placeholder="scene.json" style="flex:1">
+    <button id="open">Open</button><button id="save">Save</button>
+  </div>
+  <h4>Hierarchy</h4>
+  <div class="row">
+    <select id="createtype">
+      <option value="container">container</option>
+      <option value="camera">camera</option>
+      <option value="plane">plane</option>
+      <option value="sphere">sphere</option>
+      <option value="cube">cube</option>
+    </select>
+    <button id="create">+ entity</button>
+    <button id="delete">delete</button>
+  </div>
+  <div id="tree"></div>
+  <div id="inspector" class="insp"></div>
+  <h4>Materials <button id="newmat">+</button>
+      <select id="newmattype" style="font-size:11px">
+        <option value="openpbr">openpbr</option>
+        <option value="diffuse">diffuse</option>
+        <option value="metal">metal</option>
+        <option value="translucent">translucent</option>
+      </select></h4>
+  <div id="matlist"></div>
+  <div id="matinspector" class="insp"></div>
+</div>
+<div id="main">
 <div id="bar">
   <b>path_tracer_tpu</b>
   <label>mode <select id="mode">
@@ -68,9 +128,17 @@ select,input,button { background:#1e2127; color:#d8dce2;
   <span id="status"></span>
 </div>
 <img id="view" width="WIDTH" height="HEIGHT">
+</div>
 <script>
 const img = document.getElementById('view');
 let inflight = false, gen = 0;
+let sceneDoc = null, selEntity = -1, selMat = -1;
+
+async function post(url, body) {
+  const r = await fetch(url, {method:'POST', body:JSON.stringify(body)});
+  return r.json();
+}
+
 async function tick() {
   if (inflight) return;
   inflight = true;
@@ -78,7 +146,8 @@ async function tick() {
   const tm = document.getElementById('tonemap').value;
   const br = Math.pow(10, parseFloat(document.getElementById('bright').value));
   try {
-    const r = await fetch(`/frame.png?mode=${mode}&tonemap=${tm}&brightness=${br}&g=${gen++}`);
+    const sel = mode === 'render' ? -1 : selShape();
+    const r = await fetch(`/frame.png?mode=${mode}&tonemap=${tm}&brightness=${br}&selected=${sel}&g=${gen++}`);
     const blob = await r.blob();
     const url = URL.createObjectURL(blob);
     img.onload = () => URL.revokeObjectURL(url);
@@ -89,11 +158,186 @@ async function tick() {
   } finally { inflight = false; }
 }
 setInterval(tick, 120);
+
+function selShape() {
+  if (!sceneDoc || selEntity < 0) return -1;
+  const e = sceneDoc.entities.find(e => e.id === selEntity);
+  return e ? e.shape : -1;
+}
+
+function numRow(label, vals, cb) {
+  const row = document.createElement('div');
+  row.className = 'row';
+  const l = document.createElement('label');
+  l.textContent = label;
+  row.appendChild(l);
+  vals.forEach((v, i) => {
+    const inp = document.createElement('input');
+    inp.type = 'number'; inp.step = 'any';
+    inp.value = typeof v === 'number' ? +v.toFixed(4) : v;
+    inp.onchange = () => cb(i, parseFloat(inp.value));
+    row.appendChild(inp);
+  });
+  return row;
+}
+
+function colorRow(label, rgb, cb) {
+  const row = document.createElement('div');
+  row.className = 'row';
+  const l = document.createElement('label');
+  l.textContent = label;
+  row.appendChild(l);
+  const inp = document.createElement('input');
+  inp.type = 'color';
+  const hex = c => ('0' + Math.round(Math.pow(Math.min(Math.max(c,0),1),
+      1/2.2)*255).toString(16)).slice(-2);
+  inp.value = '#' + hex(rgb[0]) + hex(rgb[1]) + hex(rgb[2]);
+  inp.onchange = () => {
+    const v = inp.value;
+    const c = s => Math.pow(parseInt(s, 16)/255, 2.2);
+    cb([c(v.slice(1,3)), c(v.slice(3,5)), c(v.slice(5,7))]);
+  };
+  row.appendChild(inp);
+  return row;
+}
+
+async function refreshScene() {
+  sceneDoc = await (await fetch('/scene')).json();
+  const tree = document.getElementById('tree');
+  tree.innerHTML = '';
+  for (const e of sceneDoc.entities) {
+    const div = document.createElement('div');
+    div.className = 'ent' + (e.id === selEntity ? ' sel' : '');
+    div.style.paddingLeft = (4 + e.depth * 12) + 'px';
+    div.textContent = `${e.name} (${e.type})`;
+    div.onclick = () => { selEntity = e.id; renderInspector(); refreshScene(); };
+    tree.appendChild(div);
+  }
+  const ml = document.getElementById('matlist');
+  ml.innerHTML = '';
+  sceneDoc.materials.forEach((m, i) => {
+    const div = document.createElement('div');
+    div.className = 'ent' + (i === selMat ? ' sel' : '');
+    div.textContent = `${m.name} (${m.type})`;
+    div.onclick = () => { selMat = i; renderMatInspector(); refreshScene(); };
+    ml.appendChild(div);
+  });
+  renderInspector();
+  renderMatInspector();
+}
+
+function renderInspector() {
+  const box = document.getElementById('inspector');
+  box.innerHTML = '';
+  if (!sceneDoc) return;
+  const e = sceneDoc.entities.find(e => e.id === selEntity);
+  if (!e) return;
+  const title = document.createElement('h4');
+  title.textContent = 'Entity: ' + e.name;
+  box.appendChild(title);
+  const upd = body => post('/entity/update', Object.assign({id: e.id}, body))
+      .then(refreshScene);
+  for (const f of ['position', 'rotation', 'scale']) {
+    if (!e.transform[f]) continue;
+    box.appendChild(numRow(f, e.transform[f], (i, v) => {
+      e.transform[f][i] = v;
+      upd({transform: {[f]: e.transform[f]}});
+    }));
+  }
+  if (e.material !== null && e.material !== undefined) {
+    const row = document.createElement('div');
+    row.className = 'row';
+    const l = document.createElement('label');
+    l.textContent = 'material';
+    row.appendChild(l);
+    const sel = document.createElement('select');
+    sceneDoc.materials.forEach((m, i) => {
+      const o = document.createElement('option');
+      o.value = i; o.textContent = m.name;
+      if (i === e.material) o.selected = true;
+      sel.appendChild(o);
+    });
+    sel.onchange = () => upd({material: parseInt(sel.value)});
+    row.appendChild(sel);
+    box.appendChild(row);
+  }
+  if (e.fov !== null && e.fov !== undefined)
+    box.appendChild(numRow('fov', [e.fov], (i, v) => upd({fov: v})));
+}
+
+function renderMatInspector() {
+  const box = document.getElementById('matinspector');
+  box.innerHTML = '';
+  if (!sceneDoc || selMat < 0 || selMat >= sceneDoc.materials.length) return;
+  const m = sceneDoc.materials[selMat];
+  const title = document.createElement('h4');
+  title.textContent = 'Material: ' + m.name;
+  box.appendChild(title);
+  const upd = (field, value) =>
+    post('/material/update', {index: selMat, field, value})
+      .then(refreshScene);
+  for (const [field, spec] of Object.entries(m.params)) {
+    if (spec.kind === 'color')
+      box.appendChild(colorRow(field, spec.value, v => upd(field, v)));
+    else if (spec.kind === 'float' || spec.kind === 'int')
+      box.appendChild(numRow(field, [spec.value], (i, v) => upd(field, v)));
+    else if (spec.kind === 'texture') {
+      const row = document.createElement('div');
+      row.className = 'row';
+      const l = document.createElement('label');
+      l.textContent = field;
+      row.appendChild(l);
+      const sel = document.createElement('select');
+      const none = document.createElement('option');
+      none.value = -1; none.textContent = '(none)';
+      sel.appendChild(none);
+      sceneDoc.textures.forEach((t, i) => {
+        const o = document.createElement('option');
+        o.value = i; o.textContent = t;
+        if (i === spec.value) o.selected = true;
+        sel.appendChild(o);
+      });
+      sel.onchange = () => upd(field, parseInt(sel.value));
+      row.appendChild(sel);
+      box.appendChild(row);
+    }
+  }
+}
+
+document.getElementById('create').onclick = async () => {
+  await post('/entity/create',
+             {type: document.getElementById('createtype').value});
+  refreshScene();
+};
+document.getElementById('delete').onclick = async () => {
+  if (selEntity >= 0) await post('/entity/delete', {id: selEntity});
+  selEntity = -1;
+  refreshScene();
+};
+document.getElementById('newmat').onclick = async () => {
+  await post('/material/create',
+             {type: document.getElementById('newmattype').value});
+  refreshScene();
+};
+document.getElementById('save').onclick = () =>
+  post('/scene/save', {path: document.getElementById('scenepath').value});
+document.getElementById('open').onclick = async () => {
+  await post('/scene/open', {path: document.getElementById('scenepath').value});
+  selEntity = selMat = -1;
+  refreshScene();
+};
+document.getElementById('newscene').onclick = async () => {
+  await post('/scene/new', {});
+  selEntity = selMat = -1;
+  refreshScene();
+};
+
 const KEYS = {
   w:[0,0,-1], s:[0,0,1], a:[-1,0,0], d:[1,0,0], q:[0,-1,0], e:[0,1,0]};
 const ROT = {ArrowLeft:[0,0,1], ArrowRight:[0,0,-1],
              ArrowUp:[-1,0,0], ArrowDown:[1,0,0]};
 document.addEventListener('keydown', async ev => {
+  if (ev.target.tagName === 'INPUT' || ev.target.tagName === 'SELECT') return;
   const step = ev.shiftKey ? 1.0 : 0.25;
   if (KEYS[ev.key]) {
     await fetch('/move', {method:'POST', body:JSON.stringify(
@@ -112,18 +356,22 @@ img.addEventListener('click', async ev => {
   document.getElementById('picked').textContent =
     res.shape < 0 ? 'picked: (none)'
                   : `picked: ${res.name} [shape ${res.shape}]`;
+  if (res.entity >= 0) { selEntity = res.entity; refreshScene(); }
 });
+refreshScene();
 </script></body></html>
 """
 
 
 class ViewerServer:
-    """Serve an interactive progressive render of a Session."""
+    """Serve an interactive progressive render + editor of a Session."""
 
     def __init__(self, session, host='127.0.0.1', port=8000):
         self.session = session
         self.host = host
         self.port = port
+        self._ids = {}      # id(entity) -> stable small int
+        self._next_id = 0
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -153,28 +401,216 @@ class ViewerServer:
                     self._send(200, json.dumps(dict(
                         frame=s.frame_index,
                         spp=s.samples_per_pixel())).encode())
+                elif path == '/scene':
+                    self._send(200, json.dumps(outer.scene_doc()).encode())
                 else:
                     self._send(404, b'{}')
 
             def do_POST(self):
                 length = int(self.headers.get('Content-Length', 0))
                 body = json.loads(self.rfile.read(length) or b'{}')
-                if self.path == '/move':
-                    outer.session.move_camera(
-                        delta=body.get('delta', (0, 0, 0)),
-                        rotate=body.get('rotate', (0, 0, 0)))
-                    self._send(200, b'{}')
-                elif self.path == '/pick':
-                    shape = int(outer.session.pick(int(body['x']),
-                                                   int(body['y'])))
-                    name, mat = outer.shape_info(shape)
-                    self._send(200, json.dumps(dict(
-                        shape=shape, name=name, material=mat)).encode())
-                else:
+                try:
+                    result = outer.handle_post(self.path, body)
+                except (KeyError, ValueError, IndexError, OSError) as e:
+                    self._send(400, json.dumps(dict(error=str(e))).encode())
+                    return
+                if result is None:
                     self._send(404, b'{}')
+                else:
+                    self._send(200, json.dumps(result).encode())
 
         self._server = HTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
+
+    # -- scene document ---------------------------------------------------
+
+    def _eid(self, entity):
+        key = id(entity)
+        if key not in self._ids:
+            self._ids[key] = self._next_id
+            self._next_id += 1
+        return self._ids[key]
+
+    def _entity_by_id(self, eid):
+        for entity in self.session.scene.walk_entities(include_inactive=True):
+            if self._ids.get(id(entity)) == eid:
+                return entity
+        raise KeyError(f'no entity with id {eid}')
+
+    def scene_doc(self):
+        """Hierarchy + materials + assets as one JSON document (the
+        reference's browser panels, imgui_main.cpp:414-763)."""
+        from ..scene.model import ENTITY_TYPE_CAMERA
+        from .preview import shape_entities
+
+        scene = self.session.scene
+        shape_of = {id(e): i for i, e in enumerate(shape_entities(scene))}
+        mat_index = {id(m): i for i, m in enumerate(scene.materials)}
+        entities = []
+
+        def walk(entity, depth):
+            tr = entity.transform
+            entities.append(dict(
+                id=self._eid(entity),
+                name=entity.name,
+                type=_TYPE_NAMES.get(entity.type, str(entity.type)),
+                depth=depth,
+                shape=shape_of.get(id(entity), -1),
+                transform=dict(position=[float(v) for v in tr.position],
+                               rotation=[float(v) for v in tr.rotation],
+                               scale=[float(v) for v in tr.scale]),
+                material=(mat_index.get(id(entity.material))
+                          if getattr(entity, 'material', None) is not None
+                          else None),
+                fov=(float(entity.pinhole.field_of_view_in_degrees)
+                     if entity.type == ENTITY_TYPE_CAMERA else None),
+            ))
+            for child in entity.children:
+                walk(child, depth + 1)
+
+        walk(scene.root, 0)
+        return dict(
+            entities=entities,
+            materials=[self.material_doc(m) for m in scene.materials],
+            textures=[t.name for t in scene.textures],
+            meshes=[m.name for m in scene.meshes],
+            prefabs=[p.name for p in scene.prefabs],
+        )
+
+    def material_doc(self, material):
+        """Editable parameter schema of one material (the reference's
+        per-material inspectors, e.g. openpbr.hpp:136-181)."""
+        from ..scene.model import Material, Texture
+        scene = self.session.scene
+        tex_index = {id(t): i for i, t in enumerate(scene.textures)}
+        params = {}
+        for f in dataclasses.fields(material):
+            if f.name in ('name', 'flags', 'packed_material_index'):
+                continue
+            value = getattr(material, f.name)
+            if isinstance(value, np.ndarray) and value.shape == (3,):
+                params[f.name] = dict(kind='color',
+                                      value=[float(v) for v in value])
+            elif isinstance(value, bool):
+                continue
+            elif isinstance(value, int):
+                params[f.name] = dict(kind='int', value=value)
+            elif isinstance(value, float):
+                params[f.name] = dict(kind='float', value=value)
+            elif value is None or isinstance(value, Texture):
+                params[f.name] = dict(
+                    kind='texture',
+                    value=tex_index.get(id(value), -1) if value else -1)
+        return dict(name=material.name,
+                    type=type(material).__name__.replace('Material', ''),
+                    params=params)
+
+    # -- mutations --------------------------------------------------------
+
+    def handle_post(self, path, body):
+        from ..scene.model import (
+            ENTITY_TYPE_CAMERA, ENTITY_TYPE_CONTAINER, ENTITY_TYPE_CUBE,
+            ENTITY_TYPE_MESH_INSTANCE, ENTITY_TYPE_PLANE, ENTITY_TYPE_SPHERE,
+            SCENE_DIRTY_CAMERAS, SCENE_DIRTY_MATERIALS, SCENE_DIRTY_SHAPES,
+            BasicDiffuseMaterial, BasicMetalMaterial,
+            BasicTranslucentMaterial, OpenPBRMaterial)
+
+        scene = self.session.scene
+        if path == '/move':
+            self.session.move_camera(
+                delta=body.get('delta', (0, 0, 0)),
+                rotate=body.get('rotate', (0, 0, 0)))
+            return {}
+        if path == '/pick':
+            shape = int(self.session.pick(int(body['x']), int(body['y'])))
+            name, mat, eid = self.shape_info(shape)
+            return dict(shape=shape, name=name, material=mat, entity=eid)
+        if path == '/entity/update':
+            entity = self._entity_by_id(int(body['id']))
+            if 'name' in body:
+                entity.name = str(body['name'])
+            if 'transform' in body:
+                tr = body['transform']
+                for field in ('position', 'rotation', 'scale'):
+                    if field in tr:
+                        setattr(entity.transform, field,
+                                np.asarray(tr[field], np.float32))
+                scene.mark_dirty(SCENE_DIRTY_SHAPES | SCENE_DIRTY_CAMERAS)
+            if 'material' in body:
+                entity.material = scene.materials[int(body['material'])]
+                scene.mark_dirty(SCENE_DIRTY_SHAPES)
+            if 'fov' in body and entity.type == ENTITY_TYPE_CAMERA:
+                entity.pinhole.field_of_view_in_degrees = float(body['fov'])
+                scene.mark_dirty(SCENE_DIRTY_CAMERAS)
+            return {}
+        if path == '/entity/create':
+            types = dict(container=ENTITY_TYPE_CONTAINER,
+                         camera=ENTITY_TYPE_CAMERA,
+                         plane=ENTITY_TYPE_PLANE,
+                         sphere=ENTITY_TYPE_SPHERE,
+                         cube=ENTITY_TYPE_CUBE,
+                         mesh=ENTITY_TYPE_MESH_INSTANCE)
+            parent = (self._entity_by_id(int(body['parent']))
+                      if 'parent' in body else None)
+            kwargs = {}
+            if body['type'] == 'mesh':
+                kwargs['mesh'] = next(
+                    m for m in scene.meshes if m.name == body['mesh'])
+            entity = scene.create_entity(types[body['type']], parent=parent,
+                                         **kwargs)
+            entity.name = body.get('name', f"New {body['type']}")
+            return dict(id=self._eid(entity))
+        if path == '/entity/delete':
+            scene.destroy_entity(self._entity_by_id(int(body['id'])))
+            return {}
+        if path == '/material/update':
+            material = scene.materials[int(body['index'])]
+            field = str(body['field'])
+            if not any(f.name == field for f in dataclasses.fields(material)):
+                raise KeyError(f'{type(material).__name__} has no '
+                               f'field {field}')
+            value = body['value']
+            current = getattr(material, field)
+            if isinstance(current, np.ndarray):
+                value = np.asarray(value, np.float32)
+            elif field.endswith('_texture') or current is None or \
+                    hasattr(current, 'pixels'):
+                value = (scene.textures[int(value)] if int(value) >= 0
+                         else None)
+            elif isinstance(current, int) and not isinstance(current, bool):
+                value = int(value)
+            else:
+                value = float(value)
+            setattr(material, field, value)
+            scene.mark_dirty(SCENE_DIRTY_MATERIALS)
+            return {}
+        if path == '/material/create':
+            ctor = dict(diffuse=BasicDiffuseMaterial,
+                        metal=BasicMetalMaterial,
+                        translucent=BasicTranslucentMaterial,
+                        openpbr=OpenPBRMaterial)[body.get('type', 'openpbr')]
+            material = ctor(name=body.get('name', 'New Material'))
+            scene.materials.append(material)
+            scene.mark_dirty(SCENE_DIRTY_MATERIALS)
+            return dict(index=len(scene.materials) - 1)
+        if path == '/scene/save':
+            from ..scene.serializer import save_scene
+            save_scene(str(body['path']), scene)
+            return {}
+        if path == '/scene/open':
+            from ..scene.serializer import load_scene
+            self.set_scene(load_scene(str(body['path'])))
+            return {}
+        if path == '/scene/new':
+            from ..scene.procedural import make_default_scene
+            self.set_scene(make_default_scene())
+            return {}
+        return None
+
+    def set_scene(self, scene):
+        self._ids.clear()
+        self._next_id = 0
+        self.session.set_scene(scene)
 
     def frame_png(self, params):
         mode = params.get('mode', 'render')
@@ -184,26 +620,27 @@ class ViewerServer:
                 tonemap_mode=int(params.get('tonemap', 0)),
                 brightness=brightness)
         else:
-            image = self.session.preview(mode=int(mode),
-                                         brightness=brightness)
+            image = self.session.preview(
+                mode=int(mode), brightness=brightness,
+                selected_shape=int(params.get('selected', -1)))
         return encode_png(np.asarray(image), compress_level=1)
 
     def shape_info(self, shape):
-        """Entity name + material name for a picked shape index."""
+        """Entity name + material + stable id for a picked shape index."""
         if shape < 0:
-            return '', ''
+            return '', '', -1
         index = 0
         from .preview import shape_entities
         for entity in shape_entities(self.session.scene):
             if index == shape:
                 mat = entity.material.name if entity.material else ''
-                return entity.name, mat
+                return entity.name, mat, self._eid(entity)
             index += 1
-        return '', ''
+        return '', '', -1
 
     def serve_forever(self):
         print(f'viewer: http://{self.host}:{self.port}/  '
-              f'(WASD/QE move, arrows rotate, click to pick)')
+              f'(WASD/QE move, arrows rotate, click to pick & select)')
         self._server.serve_forever()
 
     def serve_background(self):
@@ -215,3 +652,7 @@ class ViewerServer:
     def shutdown(self):
         self._server.shutdown()
         self._server.server_close()
+
+
+_TYPE_NAMES = {0: 'root', 1: 'container', 2: 'camera', 3: 'mesh',
+               4: 'plane', 5: 'sphere', 6: 'cube'}
