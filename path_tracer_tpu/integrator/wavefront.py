@@ -142,9 +142,20 @@ def reset(packed, config: RenderConfig, seed, lane=None):
 
     `lane` optionally restricts this state to a slice of the image's
     pixels (for pixel-sharded rendering); defaults to all pixels.
+
+    Jitted as ONE program: built eagerly this is ~2700 individual op
+    dispatches at 2M lanes, which on the deferred-dispatch axon runtime
+    cost 75 s of per-op relay compiles plus 130 s of deferred execution
+    at the first readback (tools/profile_compile.py) -- the round-2
+    bench's "550 s Cornell compile" in its entirety. The seed is traced,
+    so per-restart reseeds reuse the compiled program.
     """
     if lane is None:
-        lane = jnp.arange(config.width * config.height, dtype=jnp.int32)
+        return _reset_jit(packed, config, jnp.uint32(seed))
+    return _reset_impl(packed, config, jnp.uint32(seed), lane)
+
+
+def _reset_impl(packed, config, seed, lane):
     n = lane.shape[0]
     rng = Rng.seed(lane.astype(jnp.uint32), seed)
     state, origin, direction = new_paths(
@@ -156,6 +167,12 @@ def reset(packed, config: RenderConfig, seed, lane=None):
     )
     return dict(path=state, origin=origin, direction=direction,
                 accum=accum, rng_state=rng.state, lane=lane)
+
+
+@partial(jax.jit, static_argnames=('config',))
+def _reset_jit(packed, config, seed):
+    lane = jnp.arange(config.width * config.height, dtype=jnp.int32)
+    return _reset_impl(packed, config, seed, lane)
 
 
 def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
