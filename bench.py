@@ -87,6 +87,39 @@ def bench_scene(name, scene, camera_model=0, tone=0,
                 time_to_64spp_s=round(t64, 1))
 
 
+def check_goldens():
+    """On-chip numerics regression: re-render each config's fixed-seed
+    golden frame on the TPU (packet kernels, Mosaic lowering, bf16
+    dots) and compare against the checked-in CPU goldens within
+    Monte-Carlo bands. Catches silent numerics drift that a
+    speed-only bench would ship (round-2 verdict item 6)."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tools'))
+    from make_bench_goldens import (GOLDEN_DIR, golden_configs,
+                                    render_golden_frame)
+
+    failures = []
+    for name, make, cam in golden_configs():
+        path = os.path.join(GOLDEN_DIR, f'{name}.npz')
+        if not os.path.exists(path):
+            print(f'# [golden] {name}: MISSING golden at {path}',
+                  file=sys.stderr)
+            failures.append(name)
+            continue
+        ref = np.load(path)['image']
+        img = render_golden_frame(name, make, cam)
+        rel = float(np.abs(img - ref).mean() / (ref.mean() + 1e-3))
+        close99 = float((np.abs(img - ref) <= 0.05).mean())
+        ok = rel < 0.05 and close99 > 0.98
+        print(f'# [golden] {name}: rel_err {rel:.4f}, '
+              f'within-0.05 {close99:.4f} -> {"ok" if ok else "FAIL"}',
+              file=sys.stderr)
+        if not ok:
+            failures.append(name)
+    return failures
+
+
 def main():
     from path_tracer_tpu.scene.procedural import (
         make_360_scene,
@@ -111,6 +144,8 @@ def main():
         '5_multi_mesh_4k', make_multi_mesh_scene(detail=1),
         width=3840, height=2160, timed_rounds=6)
 
+    golden_failures = check_goldens()
+
     headline = configs['3_viking_hall']['mrays']
     print(json.dumps({
         'metric': 'Mrays/s/chip (viking-hall mesh, 1080p, wavefront rounds)',
@@ -118,7 +153,11 @@ def main():
         'unit': 'Mrays/s',
         'vs_baseline': round(headline / NORTH_STAR_MRAYS, 3),
         'configs': configs,
+        'goldens_ok': not golden_failures,
+        'golden_failures': golden_failures,
     }))
+    if golden_failures:
+        sys.exit(1)
 
 
 if __name__ == '__main__':

@@ -104,6 +104,14 @@ class SceneLayout:
     # Whether the flattened wide-BVH tables fit the packet kernel's
     # VMEM budget (decided from array *shapes* only -- no readbacks).
     wide_fit: bool = False
+    # Packet table strategy (scene/compile.py choose_packet_mode):
+    # 'flat' = v5 world-flattened single BVH; 'inst' = v6 two-level
+    # object-space tables + TLAS (ops/trace_inst.py). tlas_rows is the
+    # static TLAS row count at the head of inst_nodes; inst_fit gates
+    # the v6 kernel on its VMEM budget.
+    packet_mode: str = 'flat'
+    tlas_rows: int = 0
+    inst_fit: bool = False
     # Material types present in the scene: dispatch prunes absent
     # models statically (e.g. the OpenPBR layer walk never compiles
     # into scenes without an OpenPBR material).
@@ -149,6 +157,10 @@ class SceneLayout:
             has_opacity=bool((np.asarray(packed.materials.opacity) < 1.0).any()),
             wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
                                                   packed.wide_tris_g),
+            # The raw reconstruction cannot recover the static TLAS row
+            # count from array shapes; 'inst' scenes routed through it
+            # fall back to the portable traversal. compile_scene always
+            # attaches the host layout, which carries the real mode.
             material_types=tuple(sorted(int(t) for t in set(referenced))),
         )
 
@@ -192,8 +204,19 @@ def build_layout_host(scene, packed):
             if any(getattr(material, f, None) is not None for f in fields):
                 textured_set.add(attr)
     textured = bool(textured_set)
+    from . import trace_inst
+    packet_mode = getattr(scene, 'packet_mode', 'flat')
+    tlas_rows = getattr(scene, 'packet_tlas_rows', 0)
+    inst_fit = (packet_mode == 'inst' and trace_inst.tables_fit_vmem(
+        packed.inst_nodes, packed.inst_tris, packed.inst_rows))
+    wide_slots = (int(packed.inst_tris.shape[0]) * 8
+                  if packet_mode == 'inst'
+                  else int(packed.wide_tris_g.shape[0]) * 8)
     return SceneLayout(
         tuple(analytic), tuple(meshes), max(index, 1),
+        packet_mode=packet_mode,
+        tlas_rows=tlas_rows,
+        inst_fit=inst_fit,
         has_skybox_texture=scene.root.skybox_texture is not None,
         materials_textured=textured,
         textured_attrs=tuple(sorted(textured_set)),
@@ -202,7 +225,7 @@ def build_layout_host(scene, packed):
             [t.enable_nearest_filtering for t in scene.textures
              if t.pixels is not None]),
         atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
-        wide_face_slots=int(packed.wide_tris_g.shape[0]) * 8,
+        wide_face_slots=wide_slots,
         has_opacity=any(getattr(m, 'opacity', 1.0) < 1.0
                         for m in scene.materials),
         wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
@@ -661,22 +684,32 @@ def trace(packed, layout: SceneLayout, origin, direction,
     portable XLA per-lane traversal is the fallback (and the CPU/test
     path).
     """
-    from . import trace_packet
+    from . import trace_inst, trace_packet
 
     n = origin.shape[1]
+    instanced = layout.packet_mode == 'inst' and layout.inst_fit
     if use_packet is None:
-        use_packet = jax.default_backend() == 'tpu' and layout.wide_fit
+        use_packet = (jax.default_backend() == 'tpu'
+                      and (layout.wide_fit or instanced))
 
     hit = make_hit(n, duration)
     hit = intersect_analytic(packed, layout, origin, direction, hit)
 
     if layout.mesh_instances and use_packet:
-        t, face, fu, fv = trace_packet.wide_trace5(
-            packed.wide_nodes_g, packed.wide_tris_g, origin, direction,
-            hit['time'], interpret=interpret)
+        if instanced:
+            t, face, fu, fv, inst = trace_inst.inst_trace(
+                packed.inst_nodes, packed.inst_tris, packed.inst_rows,
+                origin, direction, hit['time'],
+                tlas_rows=layout.tlas_rows, interpret=interpret)
+            normal, uv, shp = trace_inst.resolve_inst_attributes(
+                packed.inst_attrs, packed.inst_aux, face, fu, fv, inst)
+        else:
+            t, face, fu, fv = trace_packet.wide_trace5(
+                packed.wide_nodes_g, packed.wide_tris_g, origin, direction,
+                hit['time'], interpret=interpret)
+            normal, uv, shp = trace_packet.resolve_wide_attributes(
+                packed.wide_attrs, face, fu, fv)
         improved = face >= 0
-        normal, uv, shp = trace_packet.resolve_wide_attributes(
-            packed.wide_attrs, face, fu, fv)
         hit = dict(
             time=jnp.where(improved, t, hit['time']),
             shape=jnp.where(improved, shp, hit['shape']),

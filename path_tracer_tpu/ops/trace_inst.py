@@ -1,0 +1,420 @@
+"""v6 two-level packet kernel: resident TLAS over object-space meshes.
+
+The v5 kernel (ops/trace_packet.py) flattens every mesh instance's
+triangles to world space at compile time: N instances of one mesh cost
+N copies of its geometry against the VMEM table budget, and moving one
+instance rebuilds the whole world BVH. This kernel restores the
+reference's two-level scheme (TLAS over instances, object-space mesh
+BVHs, scene.glsl.inc:468-520) in packet form:
+
+  * The nodes table is [TLAS rows | rebased per-mesh wide-BVH rows].
+    TLAS leaves carry INST_BASE+i metas; mesh tables are built ONCE per
+    unique mesh in object space and shared by all of its instances.
+  * An instance-tag pop splats the instance's object_from_world 3x4
+    from a (I, 128) VMEM table, transforms the packet's cached ray
+    registers into object space WITHOUT renormalizing the direction
+    (so hit t stays world-parameterized and reach culling works across
+    instances, the reference's trick at scene.glsl.inc:401-420), and
+    pushes the mesh root.
+  * Stack discipline makes per-instance registers sound with ONE
+    register set per packet: an instance's mesh entries are pushed only
+    after its tag pops and are fully drained (LIFO) before any other
+    instance tag or TLAS node below them pops again. TLAS interior pops
+    always use the WORLD registers; mesh interior/leaf pops always use
+    the CURRENT object registers.
+  * Leaves are v5's geometry-only multi-row leaves; the winning
+    instance index is the only extra kernel output. Vertex attributes
+    stay in the cold HBM side table in OBJECT space -- the caller
+    rotates normals to world with the per-instance inverse-transpose
+    (resolve_inst_attributes).
+
+Cost vs v5 on single-instance scenes: one extra pop class and the
+register re-derivation (~250 cycles per packet x instance-entry);
+compile.py therefore keeps v5 for scenes where flattening is cheap and
+switches to v6 when instancing duplicates geometry (SceneLayout
+.packet_mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.bvh8 import (
+    AXIS_LANE, BIG, GEOM5_STRIDE, LEAF_ENC, LEAF_MAX, META_LANE)
+
+PACKET_ROWS = 8
+INTERLEAVE = 2
+STACK_DEPTH = 128
+PASS_LIMIT = 0.5 * BIG
+INST_BASE = 1 << 22      # stack entries >= INST_BASE are instance tags
+VMEM_TABLE_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+def tables_fit_vmem(nodes, tris_g, inst_rows):
+    return (nodes.size + tris_g.size
+            + inst_rows.size) * 4 <= VMEM_TABLE_LIMIT_BYTES
+
+
+def _kernel(nodes_hbm, tris_hbm, inst_hbm,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_in_ref,
+            t_ref, face_ref, fu_ref, fv_ref, inst_ref, *rest,
+            interleave, leaf_rows, tlas_rows):
+    (stack_ref, sp_ref, cur_ref, fwd_ref,
+     rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
+     nodes_ref, tris_ref, inst_tab_ref, sems) = rest
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cp = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
+        cp.start()
+        ct = pltpu.make_async_copy(tris_hbm, tris_ref, sems.at[1])
+        ct.start()
+        ci = pltpu.make_async_copy(inst_hbm, inst_tab_ref, sems.at[2])
+        ci.start()
+        cp.wait()
+        ct.wait()
+        ci.wait()
+
+    bigf = jnp.float32(BIG)
+    P = interleave
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-8,
+                               jnp.where(d >= 0, 1e-8, -1e-8), d)
+
+    # World-space ray registers (closure constants, used by TLAS pops).
+    pk = []
+    for p in range(P):
+        sl = slice(8 * p, 8 * p + 8)
+        ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
+        dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
+        inv = (safe_inv(dx), safe_inv(dy), safe_inv(dz))
+        oinv = (ox * inv[0], oy * inv[1], oz * inv[2])
+        fwd = (jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0)
+        pk.append(dict(sl=sl, o=(ox, oy, oz), d=(dx, dy, dz),
+                       inv=inv, oinv=oinv, fwd=fwd))
+
+    pow2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    t_ref[:] = t_in_ref[:]
+    face_ref[:] = jnp.full_like(face_ref, -1)
+    zeros = jnp.zeros_like(t_in_ref[:])
+    fu_ref[:] = zeros
+    fv_ref[:] = zeros
+    inst_ref[:] = jnp.full_like(inst_ref, -1)
+    for p in range(P):
+        stack_ref[p, 0] = jnp.int32(0)
+        sp_ref[p] = jnp.int32(1)
+        cur_ref[p] = jnp.int32(0)
+
+    def enter_instance(p, i, sp):
+        """Splat the instance's object_from_world, refresh the object
+        registers, push its mesh root."""
+        sl = pk[p]['sl']
+        row = inst_tab_ref[pl.ds(i, 1), :]
+
+        def bc(lane):
+            r = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
+            return pltpu.repeat(r, 8, 0)
+
+        ox, oy, oz = pk[p]['o']
+        dx, dy, dz = pk[p]['d']
+        # Rows of object_from_world: lanes 0..3 / 4..7 / 8..11.
+        oox = bc(0) * ox + bc(1) * oy + bc(2) * oz + bc(3)
+        ooy = bc(4) * ox + bc(5) * oy + bc(6) * oz + bc(7)
+        ooz = bc(8) * ox + bc(9) * oy + bc(10) * oz + bc(11)
+        odx = bc(0) * dx + bc(1) * dy + bc(2) * dz
+        ody = bc(4) * dx + bc(5) * dy + bc(6) * dz
+        odz = bc(8) * dx + bc(9) * dy + bc(10) * dz
+        ivx, ivy, ivz = safe_inv(odx), safe_inv(ody), safe_inv(odz)
+        rox[sl, :] = oox
+        roy[sl, :] = ooy
+        roz[sl, :] = ooz
+        rdx[sl, :] = odx
+        rdy[sl, :] = ody
+        rdz[sl, :] = odz
+        rix[sl, :] = ivx
+        riy[sl, :] = ivy
+        riz[sl, :] = ivz
+        rpx[sl, :] = oox * ivx
+        rpy[sl, :] = ooy * ivy
+        rpz[sl, :] = ooz * ivz
+        fwd_ref[p, 0] = (jnp.sum(odx) >= 0.0).astype(jnp.int32)
+        fwd_ref[p, 1] = (jnp.sum(ody) >= 0.0).astype(jnp.int32)
+        fwd_ref[p, 2] = (jnp.sum(odz) >= 0.0).astype(jnp.int32)
+        cur_ref[p] = i
+        root = inst_tab_ref[i, 12].astype(jnp.int32)
+
+        @pl.when(sp < STACK_DEPTH)
+        def _():
+            stack_ref[p, sp] = root
+        sp_ref[p] = jnp.where(sp < STACK_DEPTH, sp + 1, sp)
+
+    def interior(p, v, sp, world):
+        sl = pk[p]['sl']
+        if world:
+            inv_x, inv_y, inv_z = pk[p]['inv']
+            oinv_x, oinv_y, oinv_z = pk[p]['oinv']
+        else:
+            inv_x, inv_y, inv_z = rix[sl, :], riy[sl, :], riz[sl, :]
+            oinv_x, oinv_y, oinv_z = rpx[sl, :], rpy[sl, :], rpz[sl, :]
+        row = nodes_ref[pl.ds(v, 1), :]
+
+        def bc(lane):
+            r = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
+            return pltpu.repeat(r, 8, 0)
+
+        t_cur = t_ref[sl, :]
+        rows = []
+        for ch in range(8):
+            tx0 = bc(ch) * inv_x - oinv_x
+            ty0 = bc(8 + ch) * inv_y - oinv_y
+            tz0 = bc(16 + ch) * inv_z - oinv_z
+            tx1 = bc(24 + ch) * inv_x - oinv_x
+            ty1 = bc(32 + ch) * inv_y - oinv_y
+            tz1 = bc(40 + ch) * inv_z - oinv_z
+            entry = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                            jnp.minimum(ty0, ty1)),
+                                jnp.minimum(tz0, tz1))
+            exit_ = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                            jnp.maximum(ty0, ty1)),
+                                jnp.maximum(tz0, tz1))
+            ok = (exit_ >= entry) & (exit_ > 0.0) & (entry < t_cur)
+            rows.append(jnp.min(jnp.where(ok, entry, bigf), axis=0,
+                                keepdims=True))
+        ents = jnp.min(jnp.concatenate(rows, axis=0), axis=1, keepdims=True)
+        hit = ents < PASS_LIMIT
+        mask = jnp.sum(jnp.where(hit, pow2, 0.0)).astype(jnp.int32)
+
+        if world:
+            fwd = pk[p]['fwd']
+            fwd = (jnp.asarray(fwd[0]), jnp.asarray(fwd[1]),
+                   jnp.asarray(fwd[2]))
+        else:
+            fwd = (fwd_ref[p, 0] != 0, fwd_ref[p, 1] != 0,
+                   fwd_ref[p, 2] != 0)
+        ax = nodes_ref[v, AXIS_LANE]
+        flip = jnp.where(ax == 0.0, fwd[0],
+                         jnp.where(ax == 1.0, fwd[1], fwd[2]))
+        for i in range(8):
+            c_f, c_r = i, 7 - i
+            take = jnp.where(flip, (mask >> c_r) & 1, (mask >> c_f) & 1)
+            m = jnp.where(flip, nodes_ref[v, META_LANE + c_r],
+                          nodes_ref[v, META_LANE + c_f])
+            ok = (take != 0) & (m != 0.0) & (sp < STACK_DEPTH)
+
+            @pl.when(ok)
+            def _():
+                stack_ref[p, sp] = m.astype(jnp.int32)
+
+            sp = jnp.where(ok, sp + 1, sp)
+        sp_ref[p] = sp
+
+    def leaf(p, v):
+        sl = pk[p]['sl']
+        ox, oy, oz = rox[sl, :], roy[sl, :], roz[sl, :]
+        dx, dy, dz = rdx[sl, :], rdy[sl, :], rdz[sl, :]
+        u = -v
+        count = jax.lax.rem(u, LEAF_ENC)
+        leaf_row = jax.lax.div(u, LEAF_ENC)
+        cur = cur_ref[p]
+
+        def do_row(r):
+            row = tris_ref[pl.ds(leaf_row + r, 1), :]
+
+            def bc(lane):
+                q = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
+                return pltpu.repeat(q, 8, 0)
+
+            t = t_ref[sl, :]
+            face = face_ref[sl, :]
+            fu_best = fu_ref[sl, :]
+            fv_best = fv_ref[sl, :]
+            inst = inst_ref[sl, :]
+
+            for k in range(8):
+                b = GEOM5_STRIDE * k
+                p0x, p0y, p0z = bc(b), bc(b + 1), bc(b + 2)
+                e1x, e1y, e1z = bc(b + 3), bc(b + 4), bc(b + 5)
+                e2x, e2y, e2z = bc(b + 6), bc(b + 7), bc(b + 8)
+
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) >= 1e-9
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+                fu = inv_det * (sx * pvx + sy * pvy + sz * pvz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                fv = inv_det * (dx * qx + dy * qy + dz * qz)
+                ft = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                ok &= (fu >= 0.0) & (fu <= 1.0) & (fv >= 0.0) \
+                    & (fu + fv <= 1.0)
+                ok &= (ft >= 0.0) & (ft < t) & (count > 8 * r + k)
+
+                t = jnp.where(ok, ft, t)
+                face = jnp.where(ok, (leaf_row + r) * 8 + k, face)
+                fu_best = jnp.where(ok, fu, fu_best)
+                fv_best = jnp.where(ok, fv, fv_best)
+                inst = jnp.where(ok, cur, inst)
+
+            t_ref[sl, :] = t
+            face_ref[sl, :] = face
+            fu_ref[sl, :] = fu_best
+            fv_ref[sl, :] = fv_best
+            inst_ref[sl, :] = inst
+
+        do_row(0)
+        for r in range(1, leaf_rows):
+            @pl.when(count > 8 * r)
+            def _(r=r):
+                do_row(r)
+
+    def pop_one(p):
+        sp = sp_ref[p]
+
+        @pl.when(sp > 0)
+        def _():
+            sp1 = sp - 1
+            v = stack_ref[p, sp1]
+            sp_ref[p] = sp1
+
+            @pl.when(v >= INST_BASE)
+            def _():
+                enter_instance(p, v - INST_BASE, sp1)
+
+            @pl.when((v >= 0) & (v < INST_BASE))
+            def _():
+                if tlas_rows > 0:
+                    @pl.when(v < tlas_rows)
+                    def _():
+                        interior(p, v, sp1, world=True)
+
+                    @pl.when(v >= tlas_rows)
+                    def _():
+                        interior(p, v, sp1, world=False)
+                else:
+                    interior(p, v, sp1, world=False)
+
+            @pl.when(v < 0)
+            def _():
+                leaf(p, v)
+
+    def body(_):
+        for p in range(P):
+            pop_one(p)
+        total = sp_ref[0]
+        for p in range(1, P):
+            total = total + sp_ref[p]
+        return total
+
+    jax.lax.while_loop(lambda t: t > 0, body, jnp.int32(P))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'interleave', 'leaf_rows',
+                                    'tlas_rows'))
+def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
+               tlas_rows, interpret=False, interleave=INTERLEAVE,
+               leaf_rows=LEAF_MAX // 8):
+    """Trace world rays against the two-level instanced tables.
+
+    nodes: (W, 128) [TLAS rows | rebased mesh rows] (row 0 = TLAS
+    root); tris_g: (R, 128) concatenated object-space geometry rows;
+    inst_rows: (I, 128) per-instance rows (lanes 0..11 object_from_world
+    3x4 row-major, lane 12 mesh root node index); tlas_rows: static
+    count of TLAS rows at the head of `nodes`.
+
+    Returns (t, face, fu, fv, inst): face indexes the concatenated
+    attribute side table; inst is the winning instance row (-1 miss).
+    """
+    n = origin.shape[1]
+    group = interleave * PACKET_ROWS * 128
+    n_pad = -n % group
+    if n_pad:
+        origin = jnp.pad(origin, ((0, 0), (0, n_pad)), constant_values=1.0e7)
+        direction = jnp.pad(direction, ((0, 0), (0, n_pad)),
+                            constant_values=1.0)
+        t_in = jnp.pad(t_in, (0, n_pad))
+    total = n + n_pad
+    rows = total // 128
+    grid = rows // (interleave * PACKET_ROWS)
+
+    def ray_block():
+        return pl.BlockSpec((interleave * PACKET_ROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def table_block():
+        return pl.BlockSpec(memory_space=pl.ANY)
+
+    shape2 = (rows, 128)
+    o = origin.reshape(3, rows, 128)
+    d = direction.reshape(3, rows, 128)
+
+    out_shapes = [jax.ShapeDtypeStruct(shape2, dt) for dt in
+                  (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
+                   jnp.int32)]
+    out_specs = [ray_block() for _ in range(5)]
+    reg = lambda: pltpu.VMEM((interleave * PACKET_ROWS, 128), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_kernel, interleave=interleave,
+                          leaf_rows=leaf_rows, tlas_rows=tlas_rows),
+        out_shape=tuple(out_shapes),
+        grid=(grid,),
+        in_specs=[table_block(), table_block(), table_block()]
+        + [ray_block() for _ in range(7)],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.SMEM((interleave, STACK_DEPTH), jnp.int32),
+            pltpu.SMEM((interleave,), jnp.int32),      # sp
+            pltpu.SMEM((interleave,), jnp.int32),      # current instance
+            pltpu.SMEM((interleave, 3), jnp.int32),    # object fwd flags
+        ] + [reg() for _ in range(12)] + [
+            pltpu.VMEM(nodes.shape, jnp.float32),
+            pltpu.VMEM(tris_g.shape, jnp.float32),
+            pltpu.VMEM(inst_rows.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(nodes, tris_g, inst_rows,
+      o[0], o[1], o[2], d[0], d[1], d[2], t_in.reshape(shape2))
+
+    t, face, fu, fv, inst = (x.reshape(total)[:n] for x in out[:5])
+    return t, face, fu, fv, inst
+
+
+def resolve_inst_attributes(attrs, inst_aux, face, fu, fv, inst):
+    """Object-space attribute lerp + world rotation for the winners.
+
+    attrs: (slots, 16) object-space side table; inst_aux: (I, 16) rows
+    [inverse-world 3x3 row-major (9), shape index (1), pad]; face/inst:
+    winners from inst_trace. Normals rotate to world by the row-vector
+    inverse-world product (n_w = n_o @ W^-1[:3,:3], the inverse-
+    transpose action; gather_world_tris uses the same form). Returns
+    (normal (3, N) unnormalized world, uv (2, N), shape (N,) int32).
+    """
+    ok = face >= 0
+    safe = jnp.where(ok, face, 0)
+    rows = jnp.take(attrs, safe, axis=0).T          # (16, N)
+    fw = 1.0 - fu - fv
+    n_obj = fw * rows[0:3] + fu * rows[3:6] + fv * rows[6:9]
+    uv = fw * rows[9:11] + fu * rows[11:13] + fv * rows[13:15]
+    isafe = jnp.where(ok, inst, 0)
+    irows = jnp.take(inst_aux, isafe, axis=0).T     # (16, N)
+    normal = jnp.stack([
+        n_obj[0] * irows[0] + n_obj[1] * irows[3] + n_obj[2] * irows[6],
+        n_obj[0] * irows[1] + n_obj[1] * irows[4] + n_obj[2] * irows[7],
+        n_obj[0] * irows[2] + n_obj[1] * irows[5] + n_obj[2] * irows[8],
+    ])
+    shape = jnp.where(ok, irows[9].astype(jnp.int32), -1)
+    return (jnp.where(ok, normal, 0.0), jnp.where(ok, uv, 0.0), shape)

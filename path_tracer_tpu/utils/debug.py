@@ -85,19 +85,31 @@ def plot_spectrum_png(rgb, path, samples=256):
     save_png(path, img)
 
 
+def _packet_nodes(packed):
+    """The node table the packet kernel actually traverses: the v6
+    two-level table when built (TLAS + object-space mesh trees), else
+    the v5 world-flattened one."""
+    inst = np.asarray(packed.inst_nodes)
+    if inst.shape[0] > 1:
+        return inst
+    return np.asarray(packed.wide_nodes_g)
+
+
 def dump_wide_bvh(packed, max_depth=None, file=None):
-    """Textual dump of the flattened wide BVH (PrintShapeNode analog).
+    """Textual dump of the packet-kernel BVH (PrintShapeNode analog).
 
     Prints one line per wide node with bounds, child kinds and leaf
     sizes; the tree these rows describe is what the packet kernel
-    traverses (ops/trace_wide.py).
+    traverses (ops/trace_inst.py / ops/trace_packet.py). In the v6
+    table, metas >= INST_BASE are instance tags (TLAS leaves).
     """
     import sys
 
+    from ..ops.trace_inst import INST_BASE
     from ..scene.bvh8 import AXIS_LANE, LEAF_ENC, META_LANE
 
     out = file or sys.stdout
-    nodes = np.asarray(packed.wide_nodes_g)
+    nodes = _packet_nodes(packed)
 
     def visit(w, depth):
         if max_depth is not None and depth > max_depth:
@@ -109,7 +121,9 @@ def dump_wide_bvh(packed, max_depth=None, file=None):
             m = meta[c]
             if m == 0.0:  # empty slot (node 0 is the root, never a child)
                 continue
-            if m >= 0:
+            if m >= INST_BASE:
+                kids.append(('inst', int(m) - INST_BASE))
+            elif m >= 0:
                 kids.append(('node', int(m)))
             else:
                 kids.append(('leaf', int(-m) // LEAF_ENC, int(-m) % LEAF_ENC))
@@ -123,6 +137,12 @@ def dump_wide_bvh(packed, max_depth=None, file=None):
         for kid in kids:
             if kid[0] == 'leaf':
                 print(f'{pad}  leaf @row {kid[1]}: {kid[2]} tris', file=out)
+            elif kid[0] == 'inst':
+                inst = np.asarray(packed.inst_rows)
+                root = int(inst[kid[1], 12])
+                print(f'{pad}  instance {kid[1]} -> mesh root {root}',
+                      file=out)
+                visit(root, depth + 1)
             else:
                 visit(kid[1], depth + 1)
 
@@ -130,10 +150,10 @@ def dump_wide_bvh(packed, max_depth=None, file=None):
 
 
 def bvh_statistics(packed):
-    """Aggregate structure stats of the flattened wide BVH."""
+    """Aggregate structure stats of the packet-kernel BVH."""
     from ..scene.bvh8 import LEAF_ENC, META_LANE
 
-    nodes = np.asarray(packed.wide_nodes_g)
+    nodes = _packet_nodes(packed)
     meta = nodes[:, META_LANE:META_LANE + 8]
     leaves = meta[meta < 0]
     counts = (-leaves).astype(np.int64) % LEAF_ENC
@@ -145,5 +165,6 @@ def bvh_statistics(packed):
         mean_leaf_size=float(counts.mean()) if counts.size else 0.0,
         mean_fanout=float((interior_children + leaves.size)
                           / max(nodes.shape[0], 1)),
-        tri_rows=int(np.asarray(packed.wide_tris_g).shape[0]),
+        tri_rows=int(max(np.asarray(packed.inst_tris).shape[0],
+                         np.asarray(packed.wide_tris_g).shape[0])),
     )

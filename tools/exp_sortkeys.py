@@ -87,21 +87,42 @@ def main():
     keys['morton'] = morton3(cells15, 5) << 3 | octant
 
     t_in = jnp.full((o.shape[1],), 1e6, jnp.float32)
+    # The production tables are v6 two-level now; this historical sweep
+    # still measures the v5 flat kernel, so build its tables directly.
+    from path_tracer_tpu.scene import bvh8
+    from path_tracer_tpu.scene.compile import (
+        _ENTITY_TO_SHAPE_TYPE, gather_world_tris)
+    from path_tracer_tpu.scene.model import ENTITY_TYPE_MESH_INSTANCE
+    instances = []
+    index = 0
+    for entity, world in scene.walk_entities_with_transform():
+        if entity.type not in _ENTITY_TO_SHAPE_TYPE:
+            continue
+        if entity.type == ENTITY_TYPE_MESH_INSTANCE and entity.mesh is None:
+            continue
+        if entity.type == ENTITY_TYPE_MESH_INSTANCE:
+            inv = np.linalg.inv(world.astype(np.float64)).astype(np.float32)
+            instances.append((index, entity, world, inv))
+        index += 1
+    tris = gather_world_tris(instances)
+    wide = bvh8.build_wide_bvh(*tris)
+    w_nodes, w_tris, _, _ = bvh8.pack_wide_geom(wide, *tris)
+    w_nodes, w_tris = jnp.asarray(w_nodes), jnp.asarray(w_tris)
     results = {}
     for name, key in keys.items():
         order = np.argsort(key, kind='stable')
         oo = jnp.asarray(o[:, order])
         dd = jnp.asarray(d[:, order])
-        out = wide_trace5(packed.wide_nodes_g, packed.wide_tris_g,
+        out = wide_trace5(w_nodes, w_tris,
                           oo, dd, t_in, stats=True)
-        st = np.asarray(out[5])
+        st = np.asarray(out[4])
         pops = int(st[:, 0].sum() + st[:, 1].sum())
-        out = wide_trace5(packed.wide_nodes_g, packed.wide_tris_g,
+        out = wide_trace5(w_nodes, w_tris,
                           oo, dd, t_in)
         float(jnp.sum(out[0]))
         t0 = time.time()
         for _ in range(3):
-            out = wide_trace5(packed.wide_nodes_g, packed.wide_tris_g,
+            out = wide_trace5(w_nodes, w_tris,
                               oo, dd, t_in)
             float(jnp.sum(out[0]))
         dt = (time.time() - t0) / 3
