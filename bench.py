@@ -107,14 +107,23 @@ def check_goldens():
                   file=sys.stderr)
             failures.append(name)
             continue
-        ref = np.load(path)['image']
+        z = np.load(path)
+        ref = z['image']
+        noise = float(z['noise'])   # same-scene independent-seed floor
+        bias_floor = float(z['bias'])
         img = render_golden_frame(name, make, cam)
+        # The TPU render decoheres from the CPU one through traversal
+        # tie-breaks, so it compares like an independent MC run: gate
+        # per-pixel error against the measured noise floor, and the
+        # image MEAN against the (much tighter) bias floor -- a
+        # systematic numerics bug moves the mean, noise does not.
         rel = float(np.abs(img - ref).mean() / (ref.mean() + 1e-3))
-        close99 = float((np.abs(img - ref) <= 0.05).mean())
-        ok = rel < 0.05 and close99 > 0.98
-        print(f'# [golden] {name}: rel_err {rel:.4f}, '
-              f'within-0.05 {close99:.4f} -> {"ok" if ok else "FAIL"}',
-              file=sys.stderr)
+        bias = float(abs(img.mean() - ref.mean()) / (ref.mean() + 1e-3))
+        ok = (rel < max(1.6 * noise, 0.02)
+              and bias < max(4.0 * bias_floor, 0.02))
+        print(f'# [golden] {name}: rel_err {rel:.4f} (floor {noise:.4f}), '
+              f'mean bias {bias:.4f} (floor {bias_floor:.4f}) -> '
+              f'{"ok" if ok else "FAIL"}', file=sys.stderr)
         if not ok:
             failures.append(name)
     return failures

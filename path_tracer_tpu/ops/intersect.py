@@ -702,7 +702,8 @@ def trace(packed, layout: SceneLayout, origin, direction,
                 origin, direction, hit['time'],
                 tlas_rows=layout.tlas_rows, interpret=interpret)
             normal, uv, shp = trace_inst.resolve_inst_attributes(
-                packed.inst_attrs, packed.inst_aux, face, fu, fv, inst)
+                packed.inst_attrs, packed.inst_aux, face, fu, fv, inst,
+                n_instances=len(layout.mesh_instances))
         else:
             t, face, fu, fv = trace_packet.wide_trace5(
                 packed.wide_nodes_g, packed.wide_tris_g, origin, direction,

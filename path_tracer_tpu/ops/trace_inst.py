@@ -66,6 +66,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             interleave, leaf_rows, tlas_rows):
     (stack_ref, sp_ref, cur_ref, fwd_ref,
      rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
+     wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
      nodes_ref, tris_ref, inst_tab_ref, sems) = rest
 
     @pl.when(pl.program_id(0) == 0)
@@ -87,17 +88,31 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         return 1.0 / jnp.where(jnp.abs(d) < 1e-8,
                                jnp.where(d >= 0, 1e-8, -1e-8), d)
 
-    # World-space ray registers (closure constants, used by TLAS pops).
+    # World-space ray registers live in VMEM scratch like the object
+    # registers: keeping them as loop-invariant SSA values was worth
+    # another measured speedup to evict (the same register-pressure
+    # relief that made v6 beat v5 by 26-37%). Only the per-packet fwd
+    # scalars stay in SSA.
     pk = []
     for p in range(P):
         sl = slice(8 * p, 8 * p + 8)
         ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
         dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
-        inv = (safe_inv(dx), safe_inv(dy), safe_inv(dz))
-        oinv = (ox * inv[0], oy * inv[1], oz * inv[2])
+        ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+        wox[sl, :] = ox
+        woy[sl, :] = oy
+        woz[sl, :] = oz
+        wdx[sl, :] = dx
+        wdy[sl, :] = dy
+        wdz[sl, :] = dz
+        wix[sl, :] = ivx
+        wiy[sl, :] = ivy
+        wiz[sl, :] = ivz
+        wpx[sl, :] = ox * ivx
+        wpy[sl, :] = oy * ivy
+        wpz[sl, :] = oz * ivz
         fwd = (jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0)
-        pk.append(dict(sl=sl, o=(ox, oy, oz), d=(dx, dy, dz),
-                       inv=inv, oinv=oinv, fwd=fwd))
+        pk.append(dict(sl=sl, fwd=fwd))
 
     pow2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
@@ -119,11 +134,16 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         row = inst_tab_ref[pl.ds(i, 1), :]
 
         def bc(lane):
+            # Two explicit stages: lane broadcast then pltpu.repeat to
+            # (8, 128). Letting the elementwise consumers broadcast the
+            # (1, 128) across sublanes instead fails in Mosaic (HTTP
+            # 500 from the compile relay -- the same lowering gap as
+            # the fused (1,1)->(8,128) broadcast).
             r = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
             return pltpu.repeat(r, 8, 0)
 
-        ox, oy, oz = pk[p]['o']
-        dx, dy, dz = pk[p]['d']
+        ox, oy, oz = wox[sl, :], woy[sl, :], woz[sl, :]
+        dx, dy, dz = wdx[sl, :], wdy[sl, :], wdz[sl, :]
         # Rows of object_from_world: lanes 0..3 / 4..7 / 8..11.
         oox = bc(0) * ox + bc(1) * oy + bc(2) * oz + bc(3)
         ooy = bc(4) * ox + bc(5) * oy + bc(6) * oz + bc(7)
@@ -158,14 +178,19 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
     def interior(p, v, sp, world):
         sl = pk[p]['sl']
         if world:
-            inv_x, inv_y, inv_z = pk[p]['inv']
-            oinv_x, oinv_y, oinv_z = pk[p]['oinv']
+            inv_x, inv_y, inv_z = wix[sl, :], wiy[sl, :], wiz[sl, :]
+            oinv_x, oinv_y, oinv_z = wpx[sl, :], wpy[sl, :], wpz[sl, :]
         else:
             inv_x, inv_y, inv_z = rix[sl, :], riy[sl, :], riz[sl, :]
             oinv_x, oinv_y, oinv_z = rpx[sl, :], rpy[sl, :], rpz[sl, :]
         row = nodes_ref[pl.ds(v, 1), :]
 
         def bc(lane):
+            # Two explicit stages: lane broadcast then pltpu.repeat to
+            # (8, 128). Letting the elementwise consumers broadcast the
+            # (1, 128) across sublanes instead fails in Mosaic (HTTP
+            # 500 from the compile relay -- the same lowering gap as
+            # the fused (1,1)->(8,128) broadcast).
             r = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
             return pltpu.repeat(r, 8, 0)
 
@@ -377,7 +402,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
             pltpu.SMEM((interleave,), jnp.int32),      # sp
             pltpu.SMEM((interleave,), jnp.int32),      # current instance
             pltpu.SMEM((interleave, 3), jnp.int32),    # object fwd flags
-        ] + [reg() for _ in range(12)] + [
+        ] + [reg() for _ in range(24)] + [
             pltpu.VMEM(nodes.shape, jnp.float32),
             pltpu.VMEM(tris_g.shape, jnp.float32),
             pltpu.VMEM(inst_rows.shape, jnp.float32),
@@ -393,7 +418,8 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
     return t, face, fu, fv, inst
 
 
-def resolve_inst_attributes(attrs, inst_aux, face, fu, fv, inst):
+def resolve_inst_attributes(attrs, inst_aux, face, fu, fv, inst,
+                            n_instances=None):
     """Object-space attribute lerp + world rotation for the winners.
 
     attrs: (slots, 16) object-space side table; inst_aux: (I, 16) rows
@@ -402,6 +428,10 @@ def resolve_inst_attributes(attrs, inst_aux, face, fu, fv, inst):
     inverse-world product (n_w = n_o @ W^-1[:3,:3], the inverse-
     transpose action; gather_world_tris uses the same form). Returns
     (normal (3, N) unnormalized world, uv (2, N), shape (N,) int32).
+
+    n_instances (static): when 1, the per-lane inst_aux row-gather
+    (~23 ms at 2M lanes -- gathers pay per index) collapses to a
+    broadcast of the single row.
     """
     ok = face >= 0
     safe = jnp.where(ok, face, 0)
@@ -409,12 +439,16 @@ def resolve_inst_attributes(attrs, inst_aux, face, fu, fv, inst):
     fw = 1.0 - fu - fv
     n_obj = fw * rows[0:3] + fu * rows[3:6] + fv * rows[6:9]
     uv = fw * rows[9:11] + fu * rows[11:13] + fv * rows[13:15]
-    isafe = jnp.where(ok, inst, 0)
-    irows = jnp.take(inst_aux, isafe, axis=0).T     # (16, N)
+    if n_instances == 1:
+        irows = inst_aux[0][:, None]                # (16, 1) broadcast
+    else:
+        isafe = jnp.where(ok, inst, 0)
+        irows = jnp.take(inst_aux, isafe, axis=0).T  # (16, N)
     normal = jnp.stack([
         n_obj[0] * irows[0] + n_obj[1] * irows[3] + n_obj[2] * irows[6],
         n_obj[0] * irows[1] + n_obj[1] * irows[4] + n_obj[2] * irows[7],
         n_obj[0] * irows[2] + n_obj[1] * irows[5] + n_obj[2] * irows[8],
     ])
-    shape = jnp.where(ok, irows[9].astype(jnp.int32), -1)
+    shape = jnp.where(ok, irows[9].astype(jnp.int32) * jnp.ones_like(face),
+                      -1)
     return (jnp.where(ok, normal, 0.0), jnp.where(ok, uv, 0.0), shape)

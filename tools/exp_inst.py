@@ -101,11 +101,11 @@ def main():
     scene1 = make_viking_hall_scene(detail=1)
     packed1 = compile_scene(scene1, aspect_ratio=16 / 9)
     layout1 = SceneLayout.from_packed(packed1)
-    assert layout1.packet_mode == 'flat'
-    # Build v6 tables for the same scene by duplicating nothing: force
-    # the instanced builder through a 1-instance scene.
+    # v6 tables come straight from the (now always-instanced) compile;
+    # v5 flat tables are built explicitly below for the A/B.
     from path_tracer_tpu.scene.compile import (
-        _ENTITY_TO_SHAPE_TYPE, _build_inst_tables)
+        _ENTITY_TO_SHAPE_TYPE, _build_inst_tables, gather_world_tris)
+    from path_tracer_tpu.scene import bvh8
     instances, bounds = [], []
     index = 0
     for entity, world in scene1.walk_entities_with_transform():
@@ -121,6 +121,10 @@ def main():
     for si, e, w, _ in instances:
         bounds.append(_shape_bounds(3, w, e.mesh))
     tables, t_rows = _build_inst_tables(instances, bounds)
+    world = gather_world_tris(instances)
+    wide_flat = bvh8.build_wide_bvh(*world)
+    v5_nodes, v5_tris, _, _ = bvh8.pack_wide_geom(wide_flat, *world)
+    v5_nodes, v5_tris = jnp.asarray(v5_nodes), jnp.asarray(v5_tris)
 
     o1, d1 = rays(n, 8.0)
     key = np.asarray(jax.jit(_ray_sort_key)(packed1, jnp.asarray(o1),
@@ -140,8 +144,7 @@ def main():
         return out
 
     def run_v5_single():
-        out = trace_packet.wide_trace5(packed1.wide_nodes_g,
-                                       packed1.wide_tris_g, o1j, d1j, t_in)
+        out = trace_packet.wide_trace5(v5_nodes, v5_tris, o1j, d1j, t_in)
         float(jnp.sum(out[0]))
         return out
 
@@ -167,8 +170,7 @@ def main():
         return out
 
     def run_v5_primary():
-        out = trace_packet.wide_trace5(packed1.wide_nodes_g,
-                                       packed1.wide_tris_g, opj, dpj, t_in)
+        out = trace_packet.wide_trace5(v5_nodes, v5_tris, opj, dpj, t_in)
         float(jnp.sum(out[0]))
         return out
 
