@@ -207,8 +207,9 @@ def build_layout_host(scene, packed):
     from . import trace_inst
     packet_mode = getattr(scene, 'packet_mode', 'flat')
     tlas_rows = getattr(scene, 'packet_tlas_rows', 0)
-    inst_fit = (packet_mode == 'inst' and trace_inst.tables_fit_vmem(
-        packed.inst_nodes, packed.inst_tris, packed.inst_rows))
+    inst_fit = (packet_mode == 'inst' and trace_inst.residency_split(
+        packed.inst_nodes.shape, packed.inst_tris.shape,
+        packed.inst_rows.shape) is not None)
     wide_slots = (int(packed.inst_tris.shape[0]) * 8
                   if packet_mode == 'inst'
                   else int(packed.wide_tris_g.shape[0]) * 8)

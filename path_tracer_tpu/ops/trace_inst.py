@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.bvh8 import (
-    AXIS_LANE, BIG, GEOM5_STRIDE, LEAF_ENC, LEAF_MAX, META_LANE)
+    AXIS_LANE, BIG, GEOM5_STRIDE, LEAF_MAX, LEAF_ROW_LIMIT, META_LANE)
 
 PACKET_ROWS = 8
 INTERLEAVE = 2
@@ -53,6 +53,10 @@ STACK_DEPTH = 128
 PASS_LIMIT = 0.5 * BIG
 INST_BASE = 1 << 22      # stack entries >= INST_BASE are instance tags
 VMEM_TABLE_LIMIT_BYTES = 64 * 1024 * 1024
+# Tables beyond the VMEM budget stream their cold rows from HBM with a
+# per-pop DMA; beyond this oversubscription the miss rate makes the
+# portable path competitive and the kernel declines the scene.
+STREAM_LIMIT_FACTOR = 4
 
 
 def tables_fit_vmem(nodes, tris_g, inst_rows):
@@ -60,20 +64,60 @@ def tables_fit_vmem(nodes, tris_g, inst_rows):
             + inst_rows.size) * 4 <= VMEM_TABLE_LIMIT_BYTES
 
 
+def residency_split(nodes_shape, tris_shape, inst_shape):
+    # Static (res_nodes, res_tris) rows kept VMEM-resident, or None if
+    # the scene is too oversubscribed to stream profitably. Node rows
+    # are hotter than leaf geometry rows (every traversal touches the
+    # top of the tree; leaves are reached selectively), so nodes claim
+    # the budget first; the remainder holds a prefix of the BFS-ordered
+    # leaf rows (top-of-tree leaves resident, deep leaves streamed).
+    budget_rows = VMEM_TABLE_LIMIT_BYTES // 512 - int(inst_shape[0])
+    n_nodes, n_tris = int(nodes_shape[0]), int(tris_shape[0])
+    if n_nodes + n_tris <= budget_rows:
+        return n_nodes, n_tris
+    if (n_nodes + n_tris) > STREAM_LIMIT_FACTOR * budget_rows:
+        return None
+    res_nodes = min(n_nodes, (3 * budget_rows) // 4)
+    res_tris = max(budget_rows - res_nodes, 0)
+    return res_nodes, min(res_tris, n_tris)
+
+
 def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_in_ref,
             t_ref, face_ref, fu_ref, fv_ref, inst_ref, *rest,
-            interleave, leaf_rows, tlas_rows):
-    (stack_ref, sp_ref, cur_ref, fwd_ref,
-     rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
-     wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
-     nodes_ref, tris_ref, inst_tab_ref, sems) = rest
+            interleave, leaf_rows, tlas_rows, res_nodes, res_tris,
+            n_nodes, n_tris):
+    stream_nodes = res_nodes < n_nodes
+    stream_tris = res_tris < n_tris
+    streaming = stream_nodes or stream_tris
+    if streaming:
+        (stack_ref, sp_ref, cur_ref, fwd_ref,
+         rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
+         wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
+         nodes_ref, tris_ref, inst_tab_ref, nrow_scr, trow_scr,
+         sems) = rest
+    else:
+        (stack_ref, sp_ref, cur_ref, fwd_ref,
+         rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
+         wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
+         nodes_ref, tris_ref, inst_tab_ref, sems) = rest
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        cp = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
+        # Streaming-mode resident refs are padded up to a whole (8, 128)
+        # tile (sub-tile VMEM refs fault on real hardware -- bisected
+        # with /tmp-style micro repros: a (6,128) table ref crashes the
+        # TPU worker, the same copy into a slice of an 8-row ref works),
+        # so the partial copies target a slice of the padded ref.
+        cp = pltpu.make_async_copy(
+            nodes_hbm.at[pl.ds(0, res_nodes)] if stream_nodes else nodes_hbm,
+            nodes_ref.at[pl.ds(0, res_nodes)] if stream_nodes else nodes_ref,
+            sems.at[0])
         cp.start()
-        ct = pltpu.make_async_copy(tris_hbm, tris_ref, sems.at[1])
+        ct = pltpu.make_async_copy(
+            tris_hbm.at[pl.ds(0, res_tris)] if stream_tris else tris_hbm,
+            tris_ref.at[pl.ds(0, res_tris)] if stream_tris else tris_ref,
+            sems.at[1])
         ct.start()
         ci = pltpu.make_async_copy(inst_hbm, inst_tab_ref, sems.at[2])
         ci.start()
@@ -183,7 +227,25 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         else:
             inv_x, inv_y, inv_z = rix[sl, :], riy[sl, :], riz[sl, :]
             oinv_x, oinv_y, oinv_z = rpx[sl, :], rpy[sl, :], rpz[sl, :]
-        row = nodes_ref[pl.ds(v, 1), :]
+        if stream_nodes:
+            # Cold node rows stream from HBM through a 1-row scratch
+            # (a blocking ~512 B DMA); hot rows come from the resident
+            # prefix. The scalar meta reads below go through the same
+            # scratch so both paths share one code shape.
+            @pl.when(v < res_nodes)
+            def _():
+                nrow_scr[pl.ds(0, 1), :] = nodes_ref[pl.ds(v, 1), :]
+
+            @pl.when(v >= res_nodes)
+            def _():
+                cm = pltpu.make_async_copy(nodes_hbm.at[pl.ds(v, 1)],
+                                           nrow_scr.at[pl.ds(0, 1)],
+                                           sems.at[3])
+                cm.start()
+                cm.wait()
+            row = nrow_scr[pl.ds(0, 1), :]
+        else:
+            row = nodes_ref[pl.ds(v, 1), :]
 
         def bc(lane):
             # Two explicit stages: lane broadcast then pltpu.repeat to
@@ -223,14 +285,21 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         else:
             fwd = (fwd_ref[p, 0] != 0, fwd_ref[p, 1] != 0,
                    fwd_ref[p, 2] != 0)
-        ax = nodes_ref[v, AXIS_LANE]
+        if stream_nodes:
+            ax = nrow_scr[0, AXIS_LANE]
+        else:
+            ax = nodes_ref[v, AXIS_LANE]
         flip = jnp.where(ax == 0.0, fwd[0],
                          jnp.where(ax == 1.0, fwd[1], fwd[2]))
         for i in range(8):
             c_f, c_r = i, 7 - i
             take = jnp.where(flip, (mask >> c_r) & 1, (mask >> c_f) & 1)
-            m = jnp.where(flip, nodes_ref[v, META_LANE + c_r],
-                          nodes_ref[v, META_LANE + c_f])
+            if stream_nodes:
+                m = jnp.where(flip, nrow_scr[0, META_LANE + c_r],
+                              nrow_scr[0, META_LANE + c_f])
+            else:
+                m = jnp.where(flip, nodes_ref[v, META_LANE + c_r],
+                              nodes_ref[v, META_LANE + c_f])
             ok = (take != 0) & (m != 0.0) & (sp < STACK_DEPTH)
 
             @pl.when(ok)
@@ -245,12 +314,34 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         ox, oy, oz = rox[sl, :], roy[sl, :], roz[sl, :]
         dx, dy, dz = rdx[sl, :], rdy[sl, :], rdz[sl, :]
         u = -v
-        count = jax.lax.rem(u, LEAF_ENC)
-        leaf_row = jax.lax.div(u, LEAF_ENC)
+        count = jax.lax.div(u, LEAF_ROW_LIMIT)
+        leaf_row = jax.lax.rem(u, LEAF_ROW_LIMIT)
         cur = cur_ref[p]
 
+        if stream_tris:
+            # Fetch the leaf's rows one at a time (multi-row dynamic
+            # slices are unreliable in Mosaic); the tris table carries
+            # leaf_rows-1 trailing pad rows so row leaf_row+r always
+            # exists.
+            for r in range(leaf_rows):
+                @pl.when(leaf_row + r < res_tris)
+                def _(r=r):
+                    trow_scr[pl.ds(r, 1), :] = \
+                        tris_ref[pl.ds(leaf_row + r, 1), :]
+
+                @pl.when(leaf_row + r >= res_tris)
+                def _(r=r):
+                    cm = pltpu.make_async_copy(
+                        tris_hbm.at[pl.ds(leaf_row + r, 1)],
+                        trow_scr.at[pl.ds(r, 1)], sems.at[4])
+                    cm.start()
+                    cm.wait()
+
         def do_row(r):
-            row = tris_ref[pl.ds(leaf_row + r, 1), :]
+            if stream_tris:
+                row = trow_scr[pl.ds(r, 1), :]
+            else:
+                row = tris_ref[pl.ds(leaf_row + r, 1), :]
 
             def bc(lane):
                 q = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
@@ -353,14 +444,24 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
     """Trace world rays against the two-level instanced tables.
 
     nodes: (W, 128) [TLAS rows | rebased mesh rows] (row 0 = TLAS
-    root); tris_g: (R, 128) concatenated object-space geometry rows;
-    inst_rows: (I, 128) per-instance rows (lanes 0..11 object_from_world
-    3x4 row-major, lane 12 mesh root node index); tlas_rows: static
-    count of TLAS rows at the head of `nodes`.
+    root); tris_g: (R, 128) concatenated object-space geometry rows
+    (with LEAF_MAX/8-1 trailing pad rows, scene/compile.py); inst_rows:
+    (I, 128) per-instance rows (lanes 0..11 object_from_world 3x4
+    row-major, lane 12 mesh root node index); tlas_rows: static count
+    of TLAS rows at the head of `nodes`.
+
+    Tables larger than the VMEM budget keep a resident prefix
+    (residency_split) and stream cold rows from HBM with per-pop DMAs;
+    raises ValueError beyond STREAM_LIMIT_FACTOR oversubscription
+    (callers gate on SceneLayout.inst_fit first).
 
     Returns (t, face, fu, fv, inst): face indexes the concatenated
     attribute side table; inst is the winning instance row (-1 miss).
     """
+    split = residency_split(nodes.shape, tris_g.shape, inst_rows.shape)
+    if split is None:
+        raise ValueError('tables exceed the streamable VMEM budget')
+    res_nodes, res_tris = split
     n = origin.shape[1]
     group = interleave * PACKET_ROWS * 128
     n_pad = -n % group
@@ -391,7 +492,10 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
     reg = lambda: pltpu.VMEM((interleave * PACKET_ROWS, 128), jnp.float32)
     out = pl.pallas_call(
         functools.partial(_kernel, interleave=interleave,
-                          leaf_rows=leaf_rows, tlas_rows=tlas_rows),
+                          leaf_rows=leaf_rows, tlas_rows=tlas_rows,
+                          res_nodes=res_nodes, res_tris=res_tris,
+                          n_nodes=int(nodes.shape[0]),
+                          n_tris=int(tris_g.shape[0])),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(), table_block(), table_block()]
@@ -403,11 +507,21 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
             pltpu.SMEM((interleave,), jnp.int32),      # current instance
             pltpu.SMEM((interleave, 3), jnp.int32),    # object fwd flags
         ] + [reg() for _ in range(24)] + [
-            pltpu.VMEM(nodes.shape, jnp.float32),
-            pltpu.VMEM(tris_g.shape, jnp.float32),
+            # Resident tables: full table shape when fully resident;
+            # when streaming, the prefix padded up to a whole (8, 128)
+            # tile -- sub-tile VMEM refs fault on real hardware.
+            pltpu.VMEM((nodes.shape[0] if res_nodes == nodes.shape[0]
+                        else -(-res_nodes // 8) * 8, 128), jnp.float32),
+            pltpu.VMEM((tris_g.shape[0] if res_tris == tris_g.shape[0]
+                        else -(-res_tris // 8) * 8, 128), jnp.float32),
             pltpu.VMEM(inst_rows.shape, jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        ] + ([
+            # Miss-row scratch, padded to the (8, 128) f32 tile floor.
+            pltpu.VMEM((8, 128), jnp.float32),         # node miss row
+            pltpu.VMEM((8, 128), jnp.float32),         # leaf miss rows
+            pltpu.SemaphoreType.DMA((5,)),
+        ] if (res_nodes < nodes.shape[0] or res_tris < tris_g.shape[0])
+            else [pltpu.SemaphoreType.DMA((3,))]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -65,7 +65,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.bvh8 import (
-    AXIS_LANE, BIG, GEOM5_STRIDE, LEAF_ENC, LEAF_MAX, META_LANE)
+    AXIS_LANE, BIG, GEOM5_STRIDE, LEAF_MAX, LEAF_ROW_LIMIT, META_LANE)
 
 PACKET_ROWS = 8          # packet = 8 x 128 = 1024 rays
 INTERLEAVE = 2           # independent packets per kernel instance
@@ -209,8 +209,8 @@ def _kernel(nodes_hbm, tris_hbm,
         ox, oy, oz = pk[p]['o']
         dx, dy, dz = pk[p]['d']
         u = -v
-        count = jax.lax.rem(u, LEAF_ENC)
-        leaf_row = jax.lax.div(u, LEAF_ENC)
+        count = jax.lax.div(u, LEAF_ROW_LIMIT)
+        leaf_row = jax.lax.rem(u, LEAF_ROW_LIMIT)
 
         def do_row(r):
             row = tris_ref[pl.ds(leaf_row + r, 1), :]

@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.constants import INFINITY
 from ..scene.bvh8 import (
-    AXIS_LANE, BIG, LEAF_ENC, LEAF_MAX, META_LANE, TRI_STRIDE, TRIS_PER_ROW,
+    AXIS_LANE, BIG, LEAF_MAX, LEAF_ROW_LIMIT, META_LANE, TRI_STRIDE, TRIS_PER_ROW,
 )
 
 PACKET_ROWS = 8          # sublanes per packet; packet = 8 x 128 = 1024 rays
@@ -218,8 +218,8 @@ def _kernel(nodes_ref, tris_ref,
         if stats:
             ct_ref[1] = ct_ref[1] + 1
         u = -v
-        count = jax.lax.rem(u, LEAF_ENC)
-        tri_row = jax.lax.div(u, LEAF_ENC)
+        count = jax.lax.div(u, LEAF_ROW_LIMIT)
+        tri_row = jax.lax.rem(u, LEAF_ROW_LIMIT)
         sl = pk[p]['sl']
         ox, oy, oz = pk[p]['o']
         dx, dy, dz = pk[p]['d']

@@ -26,7 +26,7 @@ Node row layout (one float32 row of 128 lanes per wide node):
                 (empty child slots get an inverted box +BIG/-BIG)
   lanes 48..55  per-child meta, stored as exact-integer float32:
                 >= 0: wide index of an interior child
-                <  0: -(tri_row * LEAF_ENC + face_count) for a leaf
+                <  0: -(face_count * LEAF_ROW_LIMIT + tri_row), leaf
                 child of up to LEAF_MAX faces starting at row tri_row
   lane  64      traversal-order axis (0/1/2): children are pre-sorted
                 by centroid along this axis at build time; the kernel
@@ -54,7 +54,14 @@ WIDE_WIDTH = 8
 TRI_STRIDE = 32
 TRIS_PER_ROW = 4
 LEAF_MAX = 16          # triangles per leaf (LEAF_MAX/8 v5 rows)
-LEAF_ENC = 64          # leaf meta = -(tri_row * LEAF_ENC + count)
+# Leaf meta = -(count * LEAF_ROW_LIMIT + tri_row): a 5-bit count field
+# (count <= LEAF_MAX) above a 19-bit row field, max 16*2^19+2^19-1 =
+# 8.9M < 2^24, so the value is EXACT in the float32 meta lane. The old
+# -(row * 64 + count) layout silently rounded the low bits once
+# tri_row exceeded 262143 (f32 mantissa), corrupting ~1.4% of leaves
+# on a 1.6M-triangle scene; row-in-the-low-bits keeps every in-range
+# value exact and the builders assert the range loudly.
+LEAF_ROW_LIMIT = 1 << 19
 META_LANE = 48
 AXIS_LANE = 64
 # Relative cost of a leaf's 2nd..Nth row vs a full pop, for the DP
@@ -95,7 +102,7 @@ def pack_wide_geom(wide: 'WideBvh',
     tri_* are in the CALLER's face order (wide.face_map indexes it).
     Returns (nodes_g, tris_g, attrs, face_map_g):
       nodes_g  (W, 128)  wide.nodes with leaf metas re-encoded as
-                         -(first_row * LEAF_ENC + count)
+                         -(count * LEAF_ROW_LIMIT + first_row)
       tris_g   (R, 128)  8-triangle geometry rows; a leaf of count
                          faces spans ceil(count/8) consecutive rows
       attrs    (R*8, 16) per-face-slot attribute rows (HBM side table;
@@ -111,8 +118,8 @@ def pack_wide_geom(wide: 'WideBvh',
     metas = nodes_g[:, META_LANE:META_LANE + WIDE_WIDTH]
     leaf_mask = metas < 0.0
     u = -metas[leaf_mask]
-    old_rows = (u // LEAF_ENC).astype(np.int64)
-    counts = (u % LEAF_ENC).astype(np.int64)
+    old_rows = (u % LEAF_ROW_LIMIT).astype(np.int64)
+    counts = (u // LEAF_ROW_LIMIT).astype(np.int64)
 
     total_rows = int(sum(-(-c // 8) for c in counts))
     tris_g = np.zeros((max(total_rows, 1), 128), np.float32)
@@ -136,8 +143,12 @@ def pack_wide_geom(wide: 'WideBvh',
             attrs[slot, 9:15] = tri_uvs[src].reshape(6)
             attrs[slot, 15] = tri_shape[src]
             face_map_g[slot] = src
-        new_metas[leaf] = np.float32(-(row0 * LEAF_ENC + count))
+        new_metas[leaf] = np.float32(-(count * LEAF_ROW_LIMIT + row0))
         row0 += -(-int(count) // 8)
+    if row0 > LEAF_ROW_LIMIT:
+        raise ValueError(
+            f'{row0} geometry rows exceed the {LEAF_ROW_LIMIT}-row leaf '
+            f'encoding (~{LEAF_ROW_LIMIT * 8 / 1e6:.0f}M triangles)')
 
     metas[leaf_mask] = new_metas
     nodes_g[:, META_LANE:META_LANE + WIDE_WIDTH] = metas
@@ -398,9 +409,14 @@ def pack_wide(children, axes, node_min, node_max,
             if kind == 'leaf':
                 num_leaves += 1
                 tri_row = len(face_map) // TRIS_PER_ROW
+                if tri_row >= LEAF_ROW_LIMIT:
+                    raise ValueError(
+                        f'mesh exceeds the {LEAF_ROW_LIMIT}-row leaf '
+                        f'encoding ({TRIS_PER_ROW * LEAF_ROW_LIMIT / 1e6:.1f}'
+                        f'M faces at this stage)')
                 face_map.extend(range(p0, p0 + p1))
                 face_map.extend([-1] * (-len(face_map) % TRIS_PER_ROW))
-                meta = -(tri_row * LEAF_ENC + p1)
+                meta = -(p1 * LEAF_ROW_LIMIT + tri_row)
             else:
                 meta = p0
             lo, hi = node_min[m], node_max[m]

@@ -38,6 +38,7 @@ from ..core.constants import (
     TEXTURE_INDEX_NONE,
 )
 from ..core import uplift
+from ..utils import log
 from . import atlas as atlas_mod
 from . import bvh as bvh_mod
 from .model import (
@@ -524,9 +525,9 @@ def _build_inst_tables(instances, inst_bounds):
         leafm = metas < 0
         metas[interior] += t_rows + nb
         u = -metas[leafm]
-        row = u // bvh8.LEAF_ENC + rb
-        cnt = u % bvh8.LEAF_ENC
-        metas[leafm] = -(row * bvh8.LEAF_ENC + cnt)
+        row = u % bvh8.LEAF_ROW_LIMIT + rb
+        cnt = u // bvh8.LEAF_ROW_LIMIT
+        metas[leafm] = -(cnt * bvh8.LEAF_ROW_LIMIT + row)
         ng[:, bvh8.META_LANE:bvh8.META_LANE + 8] = metas
         node_base[key] = t_rows + nb
         row_base[key] = rb
@@ -537,6 +538,11 @@ def _build_inst_tables(instances, inst_bounds):
         attr_parts.append(at)
         fm = fm.copy()
         fmap_parts.append(fm)
+    if rb > bvh8.LEAF_ROW_LIMIT:
+        raise ValueError(
+            f'{rb} concatenated geometry rows exceed the '
+            f'{bvh8.LEAF_ROW_LIMIT}-row leaf encoding '
+            f'(~{bvh8.LEAF_ROW_LIMIT * 8 / 1e6:.0f}M triangles)')
 
     inst_rows = np.zeros((len(instances), 128), np.float32)
     inst_aux = np.zeros((len(instances), 16), np.float32)
@@ -546,11 +552,23 @@ def _build_inst_tables(instances, inst_bounds):
         inst_aux[i, 0:9] = inv_world[:3, :3].reshape(9)
         inst_aux[i, 9] = np.float32(shape_index)
 
+    # Trailing pad rows let the streaming kernel's fixed-size leaf DMA
+    # (LEAF_MAX/8 rows) read past the final leaf without overrunning.
+    pad = bvh8.LEAF_MAX // 8 - 1
+    tris_cat = np.concatenate(
+        tri_parts + [np.zeros((pad, 128), np.float32)]
+        if pad else tri_parts).astype(np.float32)
+    attrs_cat = np.concatenate(
+        attr_parts + [np.zeros((pad * 8, 16), np.float32)]
+        if pad else attr_parts).astype(np.float32)
+    fmap_cat = np.concatenate(
+        fmap_parts + [np.full(pad * 8, -1, np.int32)]
+        if pad else fmap_parts).astype(np.int32)
     return dict(
         inst_nodes=np.concatenate([tlas] + node_parts).astype(np.float32),
-        inst_tris=np.concatenate(tri_parts).astype(np.float32),
-        inst_attrs=np.concatenate(attr_parts).astype(np.float32),
-        inst_face_map=np.concatenate(fmap_parts).astype(np.int32),
+        inst_tris=tris_cat,
+        inst_attrs=attrs_cat,
+        inst_face_map=fmap_cat,
         inst_rows=inst_rows,
         inst_aux=inst_aux,
     ), t_rows
@@ -723,6 +741,13 @@ def compile_scene(scene: Scene, prev: PackedScene = None, aspect_ratio=2.0,
     2.0 at scene.cpp:1518).
     """
     dirty = scene.dirty_flags if prev is not None else SCENE_DIRTY_ALL
+    with log.timer('compile.pack', dirty=int(dirty),
+                   incremental=prev is not None):
+        return _compile_scene(scene, prev, aspect_ratio, spectrum_table,
+                              dirty)
+
+
+def _compile_scene(scene, prev, aspect_ratio, spectrum_table, dirty):
     table = spectrum_table if spectrum_table is not None else uplift.get_table()
     out = {} if prev is None else {f.name: getattr(prev, f.name)
                                    for f in dataclasses.fields(PackedScene)}

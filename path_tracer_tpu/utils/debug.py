@@ -106,7 +106,7 @@ def dump_wide_bvh(packed, max_depth=None, file=None):
     import sys
 
     from ..ops.trace_inst import INST_BASE
-    from ..scene.bvh8 import AXIS_LANE, LEAF_ENC, META_LANE
+    from ..scene.bvh8 import AXIS_LANE, LEAF_ROW_LIMIT, META_LANE
 
     out = file or sys.stdout
     nodes = _packet_nodes(packed)
@@ -126,7 +126,8 @@ def dump_wide_bvh(packed, max_depth=None, file=None):
             elif m >= 0:
                 kids.append(('node', int(m)))
             else:
-                kids.append(('leaf', int(-m) // LEAF_ENC, int(-m) % LEAF_ENC))
+                kids.append(('leaf', int(-m) % LEAF_ROW_LIMIT,
+                             int(-m) // LEAF_ROW_LIMIT))
         lo = [nodes[w, 8 * ax:8 * ax + 8].min() for ax in range(3)]
         hi = [nodes[w, 24 + 8 * ax:24 + 8 * ax + 8].max() for ax in range(3)]
         pad = '  ' * depth
@@ -151,12 +152,12 @@ def dump_wide_bvh(packed, max_depth=None, file=None):
 
 def bvh_statistics(packed):
     """Aggregate structure stats of the packet-kernel BVH."""
-    from ..scene.bvh8 import LEAF_ENC, META_LANE
+    from ..scene.bvh8 import LEAF_ROW_LIMIT, META_LANE
 
     nodes = _packet_nodes(packed)
     meta = nodes[:, META_LANE:META_LANE + 8]
     leaves = meta[meta < 0]
-    counts = (-leaves).astype(np.int64) % LEAF_ENC
+    counts = (-leaves).astype(np.int64) // LEAF_ROW_LIMIT
     interior_children = int((meta > 0).sum())
     return dict(
         wide_nodes=int(nodes.shape[0]),

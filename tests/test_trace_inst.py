@@ -127,3 +127,44 @@ def test_inst_incremental_move_keeps_mesh_tables():
     np.testing.assert_array_equal(tris_before, np.asarray(packed2.inst_tris))
     assert not np.array_equal(np.asarray(packed.inst_rows),
                               np.asarray(packed2.inst_rows))
+
+
+def test_streaming_matches_resident():
+    """With the VMEM budget artificially shrunk, the kernel keeps a
+    resident prefix and streams cold rows from HBM per pop -- results
+    must be bitwise identical to the fully resident run."""
+    import jax
+
+    scene, rng = _instanced_scene(6, seed=21)
+    packed = compile_mod.compile_scene(scene)
+    layout = SceneLayout.from_packed(packed)
+    n = 1024
+    o = jnp.asarray(rng.uniform(-6, 6, (3, n)).astype(np.float32))
+    d = rng.normal(0, 1, (3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    d = jnp.asarray(d)
+    t_in = jnp.full((n,), 1e6, jnp.float32)
+    args = (packed.inst_nodes, packed.inst_tris, packed.inst_rows,
+            o, d, t_in)
+
+    ref = [np.asarray(x) for x in trace_inst.inst_trace(
+        *args, tlas_rows=layout.tlas_rows, interpret=True)]
+
+    orig = trace_inst.VMEM_TABLE_LIMIT_BYTES
+    try:
+        trace_inst.VMEM_TABLE_LIMIT_BYTES = (
+            int(packed.inst_nodes.shape[0])
+            + int(packed.inst_tris.shape[0]) // 2
+            + int(packed.inst_rows.shape[0]) + 2) * 512
+        jax.clear_caches()  # residency is baked into the jitted program
+        split = trace_inst.residency_split(packed.inst_nodes.shape,
+                                           packed.inst_tris.shape,
+                                           packed.inst_rows.shape)
+        assert split[1] < int(packed.inst_tris.shape[0])  # really streams
+        out = [np.asarray(x) for x in trace_inst.inst_trace(
+            *args, tlas_rows=layout.tlas_rows, interpret=True)]
+    finally:
+        trace_inst.VMEM_TABLE_LIMIT_BYTES = orig
+        jax.clear_caches()
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(a, b)

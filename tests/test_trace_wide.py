@@ -63,8 +63,8 @@ def test_wide_bvh_face_map_is_permutation():
             m = meta[w, c]
             if m >= 0:
                 continue
-            row = int(-m) // bvh8.LEAF_ENC
-            count = int(-m) % bvh8.LEAF_ENC
+            row = int(-m) % bvh8.LEAF_ROW_LIMIT
+            count = int(-m) // bvh8.LEAF_ROW_LIMIT
             lo = np.array([wide.nodes[w, 8 * ax + c] for ax in range(3)])
             hi = np.array([wide.nodes[w, 24 + 8 * ax + c] for ax in range(3)])
             for k in range(count):
@@ -239,3 +239,19 @@ def test_wide_trace5_matches_brute_force():
                                np.asarray(n3)[:, same], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(uv5)[:, same],
                                np.asarray(uv3)[:, same], rtol=1e-3, atol=1e-4)
+
+
+def test_leaf_meta_f32_exact_at_large_rows():
+    """The leaf meta encoding must survive the float32 node lane for
+    every in-range (row, count): the old -(row*64+count) layout rounded
+    away count bits beyond row 262143 (a real 1.6M-triangle scene),
+    which corrupted ~1.4% of leaves silently."""
+    import numpy as np
+
+    rows = np.array([0, 1, 262143, 262144, 500000,
+                     bvh8.LEAF_ROW_LIMIT - 1], np.int64)
+    for count in (1, 7, 8, 9, bvh8.LEAF_MAX):
+        meta = np.float32(-(count * bvh8.LEAF_ROW_LIMIT + rows))
+        u = (-meta).astype(np.int64)
+        np.testing.assert_array_equal(u % bvh8.LEAF_ROW_LIMIT, rows)
+        np.testing.assert_array_equal(u // bvh8.LEAF_ROW_LIMIT, count)
