@@ -30,6 +30,13 @@ def main(argv=None):
                        default='aces')
         p.add_argument('--brightness', type=float, default=1.0)
         p.add_argument('--camera', type=int, default=0)
+        p.add_argument('--checkpoint', default=None, metavar='NPZ',
+                       help='checkpoint path: save progress periodically '
+                            'and recover from device failures')
+        p.add_argument('--checkpoint-every', type=int, default=64,
+                       help='rounds between checkpoints')
+        p.add_argument('--resume', action='store_true',
+                       help='resume from --checkpoint if it exists')
 
     p_render = sub.add_parser('render', help='render a scene JSON file')
     p_render.add_argument('scene', help='scene .json (reference-compatible)')
@@ -147,11 +154,23 @@ def main(argv=None):
         }[args.name]()
 
     t0 = time.time()
-    image = render_scene(scene, width=args.width, height=args.height,
-                         spp_rounds=args.rounds, seed=args.seed,
-                         tonemap_mode=modes[args.tonemap],
-                         brightness=args.brightness,
-                         camera_index=args.camera)
+    if args.checkpoint:
+        from .integrator.resolve import resolve
+        from .utils.resilience import render_resilient
+
+        state = render_resilient(
+            scene, args.width, args.height, args.rounds, seed=args.seed,
+            camera_index=args.camera, checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every, resume=args.resume)
+        image = resolve(state['accum'], args.width, args.height,
+                        brightness=args.brightness,
+                        mode=modes[args.tonemap], lane=state['lane'])
+    else:
+        image = render_scene(scene, width=args.width, height=args.height,
+                             spp_rounds=args.rounds, seed=args.seed,
+                             tonemap_mode=modes[args.tonemap],
+                             brightness=args.brightness,
+                             camera_index=args.camera)
     import numpy as np
 
     image = np.asarray(image)

@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .core.constants import TONE_MAPPING_MODE_CLAMP
+from .utils import log
 from .integrator.resolve import resolve
 from .integrator.wavefront import RenderConfig, render, reset
 from .ops.intersect import SceneLayout
@@ -88,6 +89,8 @@ class Session:
 
     def _restart(self):
         self._seed += 1
+        log.event('session.restart', seed=self._seed,
+                  frame=self.frame_index)
         self.state = reset(self.packed, self.config, self._seed)
 
     def frame(self, rounds=None, tonemap_mode=TONE_MAPPING_MODE_CLAMP,

@@ -12,14 +12,18 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..utils import log
+
 
 def save_render_state(path, state):
     """Write the render state (wavefront.reset/render output) to npz."""
     import jax
 
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f'leaf_{i}': np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez_compressed(path, treedef=repr(treedef), **arrays)
+    with log.timer('checkpoint.save', path=str(path)):
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        arrays = {f'leaf_{i}': np.asarray(leaf)
+                  for i, leaf in enumerate(leaves)}
+        np.savez_compressed(path, treedef=repr(treedef), **arrays)
 
 
 def load_render_state(path, like_state):

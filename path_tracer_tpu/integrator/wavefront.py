@@ -25,6 +25,7 @@ from ..core.constants import (
 )
 from ..core.sampling import Rng
 from ..ops.intersect import SceneLayout, trace
+from ..utils import log
 from .scatter import scatter
 from .state import merge_paths, new_paths
 
@@ -226,14 +227,22 @@ def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
     return jax.lax.fori_loop(0, rounds, one_round, render_state)
 
 
-@partial(jax.jit, static_argnames=('layout', 'config', 'rounds'))
+# The render state (~0.5 GB at 1080p, ~2 GB at 4K: 30+ (N,) rows plus
+# the XYZ accumulator) is DONATED: every production caller immediately
+# rebinds to the returned state, and donation lets XLA alias the output
+# over the input instead of holding both live across the call. Tools
+# that time the same state repeatedly build a local non-donating jit of
+# render_rounds instead.
+@partial(jax.jit, static_argnames=('layout', 'config', 'rounds'),
+         donate_argnums=(3,))
 def _render_jit(packed, layout, config, render_state, termination_probability,
                 rounds):
     return render_rounds(packed, layout, config, render_state,
                          termination_probability, rounds)
 
 
-@partial(jax.jit, static_argnames=('layout', 'config', 'rounds'))
+@partial(jax.jit, static_argnames=('layout', 'config', 'rounds'),
+         donate_argnums=(3,))
 def _render_sorted_jit(packed, layout, config, render_state,
                        termination_probability, rounds):
     return render_rounds(packed, layout, config, render_state,
@@ -264,10 +273,13 @@ def render(packed, config: RenderConfig, spp_rounds, seed=0,
     # this runtime costs ~100 ms, which used to dominate analytic scenes
     # (Cornell went 9.5 -> 64 Mrays/s when the per-round sort+render
     # program pair collapsed into one fori_loop program).
-    if wants_sort(config, layout):
-        state = _render_sorted_jit(packed, layout, config, state, term,
-                                   int(spp_rounds))
-    else:
-        state = _render_jit(packed, layout, config, state, term,
-                            int(spp_rounds))
+    sorted_ = wants_sort(config, layout)
+    with log.timer('render.dispatch', rounds=int(spp_rounds),
+                   lanes=config.width * config.height, sorted=sorted_):
+        if sorted_:
+            state = _render_sorted_jit(packed, layout, config, state, term,
+                                       int(spp_rounds))
+        else:
+            state = _render_jit(packed, layout, config, state, term,
+                                int(spp_rounds))
     return state

@@ -52,8 +52,11 @@ def main():
         state = jax.block_until_ready(state)
         rec['reset_eager_s'] = round(time.time() - t0, 2)
 
-        fn = (wf._render_sorted_jit if wf.wants_sort(config, layout)
-              else wf._render_jit)
+        # Local NON-donating jit: the production wrappers donate the
+        # render state, which this tool re-uses across program shapes.
+        fn = jax.jit(partial(wf.render_rounds,
+                             sort_each_round=wf.wants_sort(config, layout)),
+                     static_argnames=('layout', 'config', 'rounds'))
         rec['sorted'] = wf.wants_sort(config, layout)
         term = jnp.float32(0.05)
 
