@@ -135,6 +135,7 @@ def main():
         make_cornell_scene,
         make_multi_mesh_scene,
         make_sphere_array_scene,
+        make_terrain_scene,
         make_viking_hall_scene,
     )
 
@@ -152,6 +153,14 @@ def main():
     configs['5_multi_mesh_4k'] = bench_scene(
         '5_multi_mesh_4k', make_multi_mesh_scene(detail=1),
         width=3840, height=2160, timed_rounds=6)
+    # Config 6 (beyond BASELINE's table): 1.6M triangles of UNIQUE
+    # geometry whose tables oversubscribe the 64 MB VMEM budget 2.3x --
+    # times the HBM-streaming path (resident prefix + per-pop miss
+    # DMAs with top-of-stack prefetch) end-to-end. The reference holds
+    # such scenes in 256 MiB+ SSBOs with no cliff (scene.cpp:1648);
+    # this row proves the TPU design has no cliff either.
+    configs['6_terrain_stream'] = bench_scene(
+        '6_terrain_stream', make_terrain_scene(side=900), timed_rounds=6)
 
     golden_failures = check_goldens()
 

@@ -129,12 +129,18 @@ SORT_MIN_FACES = 24_000
 
 def wants_sort(config: RenderConfig, layout) -> bool:
     """The per-round coherence sort only pays for itself when the packet
-    trace kernel actually runs (mesh scenes whose tables fit VMEM) AND
-    the tree is deep enough that unsorted traversal costs more than the
-    sort (SORT_MIN_FACES); analytic-only and small-mesh scenes trace
-    faster in place."""
-    return bool(config.sort_rays and layout is not None
-                and layout.mesh_instances and layout.wide_fit
+    trace kernel actually runs (mesh scenes whose tables fit or stream
+    within the kernel's budget) AND the tree is deep enough that
+    unsorted traversal costs more than the sort (SORT_MIN_FACES);
+    analytic-only and small-mesh scenes trace faster in place.
+    Streamed over-VMEM scenes always sort: packet coherence is what
+    keeps the HBM leaf-miss rate down."""
+    if not (config.sort_rays and layout is not None
+            and layout.mesh_instances):
+        return False
+    packet_runs = (layout.inst_fit if layout.packet_mode == 'inst'
+                   else layout.wide_fit)
+    return bool(packet_runs
                 and layout.wide_face_slots >= SORT_MIN_FACES)
 
 

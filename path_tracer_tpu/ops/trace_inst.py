@@ -57,6 +57,10 @@ VMEM_TABLE_LIMIT_BYTES = 64 * 1024 * 1024
 # per-pop DMA; beyond this oversubscription the miss rate makes the
 # portable path competitive and the kernel declines the scene.
 STREAM_LIMIT_FACTOR = 4
+# Top-of-stack leaf-miss prefetch (overlaps the miss DMA with the other
+# interleaved packet's pop). Module switch so the on-chip A/B tools can
+# isolate it; jit treats it as static via the _kernel partial.
+PREFETCH_TOS = True
 
 
 def tables_fit_vmem(nodes, tris_g, inst_rows):
@@ -86,7 +90,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_in_ref,
             t_ref, face_ref, fu_ref, fv_ref, inst_ref, *rest,
             interleave, leaf_rows, tlas_rows, res_nodes, res_tris,
-            n_nodes, n_tris):
+            n_nodes, n_tris, prefetch):
     stream_nodes = res_nodes < n_nodes
     stream_tris = res_tris < n_tris
     streaming = stream_nodes or stream_tris
@@ -94,8 +98,17 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         (stack_ref, sp_ref, cur_ref, fwd_ref,
          rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
          wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
-         nodes_ref, tris_ref, inst_tab_ref, nrow_scr, trow_scr,
-         sems) = rest
+         nodes_ref, tris_ref, inst_tab_ref, nrow_scr,
+         pref_ref, sems, *rest2) = rest
+        # Per-PACKET leaf-miss scratch buffers and DMA-sem arrays: DMA
+        # destinations at row offsets >= 2 of a shared scratch (and/or
+        # sem indices >= 6 of one array) silently corrupt on real
+        # hardware -- packet 1's streamed leaves read garbage while
+        # packet 0's work (bisected on-chip, all-bad-lanes-in-half-1
+        # histogram). Separate buffers keep every DMA at the proven
+        # row-0/1 offsets with a small dedicated sem array each.
+        trow_scrs = rest2[:interleave]
+        lsems = rest2[interleave:]
     else:
         (stack_ref, sp_ref, cur_ref, fwd_ref,
          rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
@@ -170,6 +183,8 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         stack_ref[p, 0] = jnp.int32(0)
         sp_ref[p] = jnp.int32(1)
         cur_ref[p] = jnp.int32(0)
+        if stream_tris:
+            pref_ref[p] = jnp.int32(-1)
 
     def enter_instance(p, i, sp):
         """Splat the instance's object_from_world, refresh the object
@@ -247,14 +262,16 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         else:
             row = nodes_ref[pl.ds(v, 1), :]
 
+        # One pltpu.repeat of the whole row up front, then 48 column
+        # broadcasts (8,1)->(8,128): measured 5% fewer cycles/pop than
+        # 48x (lane broadcast + repeat) staging (tools/exp_splat.py;
+        # jnp.repeat-spelled column broadcasts are 4x SLOWER -- the
+        # spelling matters). The fused (1,1)->(8,128) broadcast and
+        # implicit sublane broadcast still do not lower at all.
+        tile8 = pltpu.repeat(row, 8, 0)
+
         def bc(lane):
-            # Two explicit stages: lane broadcast then pltpu.repeat to
-            # (8, 128). Letting the elementwise consumers broadcast the
-            # (1, 128) across sublanes instead fails in Mosaic (HTTP
-            # 500 from the compile relay -- the same lowering gap as
-            # the fused (1,1)->(8,128) broadcast).
-            r = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
-            return pltpu.repeat(r, 8, 0)
+            return jnp.broadcast_to(tile8[:, lane:lane + 1], (8, 128))
 
         t_cur = t_ref[sl, :]
         rows = []
@@ -319,33 +336,46 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         cur = cur_ref[p]
 
         if stream_tris:
-            # Fetch the leaf's rows one at a time (multi-row dynamic
+            # Fetch the leaf's rows one DMA each (multi-row dynamic
             # slices are unreliable in Mosaic); the tris table carries
             # leaf_rows-1 trailing pad rows so row leaf_row+r always
-            # exists.
+            # exists. The common case is that these DMAs were already
+            # STARTED by the previous pop's top-of-stack prefetch
+            # (pop_one: LIFO guarantees the armed leaf is this pop), so
+            # the HBM latency overlapped a full pop of the other
+            # interleaved packet; here we only wait. The un-prefetched
+            # fallback starts all miss DMAs (each on its own semaphore)
+            # before the resident copies, so a multi-miss leaf pays one
+            # latency, not leaf_rows of them.
+            tsc = trow_scrs[p]
+            matched = pref_ref[p] == leaf_row
+            for r in range(leaf_rows):
+                @pl.when((leaf_row + r >= res_tris) & ~matched)
+                def _(r=r):
+                    pltpu.make_async_copy(
+                        tris_hbm.at[pl.ds(leaf_row + r, 1)],
+                        tsc.at[pl.ds(r, 1)], lsems[p].at[r]).start()
             for r in range(leaf_rows):
                 @pl.when(leaf_row + r < res_tris)
                 def _(r=r):
-                    trow_scr[pl.ds(r, 1), :] = \
-                        tris_ref[pl.ds(leaf_row + r, 1), :]
-
+                    tsc[pl.ds(r, 1), :] = tris_ref[pl.ds(leaf_row + r, 1), :]
+            for r in range(leaf_rows):
                 @pl.when(leaf_row + r >= res_tris)
                 def _(r=r):
-                    cm = pltpu.make_async_copy(
+                    pltpu.make_async_copy(
                         tris_hbm.at[pl.ds(leaf_row + r, 1)],
-                        trow_scr.at[pl.ds(r, 1)], sems.at[4])
-                    cm.start()
-                    cm.wait()
+                        tsc.at[pl.ds(r, 1)], lsems[p].at[r]).wait()
 
         def do_row(r):
             if stream_tris:
-                row = trow_scr[pl.ds(r, 1), :]
+                row = trow_scrs[p][pl.ds(r, 1), :]
             else:
                 row = tris_ref[pl.ds(leaf_row + r, 1), :]
 
+            tile8 = pltpu.repeat(row, 8, 0)  # same 2-stage->colbc win
+
             def bc(lane):
-                q = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
-                return pltpu.repeat(q, 8, 0)
+                return jnp.broadcast_to(tile8[:, lane:lane + 1], (8, 128))
 
             t = t_ref[sl, :]
             face = face_ref[sl, :]
@@ -424,6 +454,30 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             def _():
                 leaf(p, v)
 
+        if stream_tris and prefetch:
+            # Top-of-stack prefetch: LIFO means whatever is on top NOW
+            # is this packet's next pop. If it is a leaf with streamed
+            # rows, start their DMAs here so the HBM latency overlaps
+            # the other interleaved packet's pop (and this loop's
+            # skeleton) instead of stalling the leaf pop. pref_ref
+            # records the armed row; the leaf pop waits instead of
+            # starting, and every pop re-arms/disarms so no semaphore
+            # is ever left in flight (armed => consumed next pop).
+            sp2 = sp_ref[p]
+            top = stack_ref[p, jnp.maximum(sp2 - 1, 0)]
+            armed = (sp2 > 0) & (top < 0)
+            # Clamp so the predicated-off DMA never sees a negative
+            # dynamic offset (top >= 0 decodes to a negative rem).
+            lrow = jnp.maximum(jax.lax.rem(-top, LEAF_ROW_LIMIT), 0)
+            pref_ref[p] = jnp.where(armed, lrow, -1)
+            for r in range(leaf_rows):
+                @pl.when(armed & (lrow + r >= res_tris))
+                def _(r=r):
+                    pltpu.make_async_copy(
+                        tris_hbm.at[pl.ds(lrow + r, 1)],
+                        trow_scrs[p].at[pl.ds(r, 1)],
+                        lsems[p].at[r]).start()
+
     def body(_):
         for p in range(P):
             pop_one(p)
@@ -462,6 +516,12 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
     if split is None:
         raise ValueError('tables exceed the streamable VMEM budget')
     res_nodes, res_tris = split
+    if res_tris < tris_g.shape[0] and leaf_rows > 2:
+        # Per-packet leaf-miss DMAs are proven on hardware only at the
+        # row-0/1 offsets of their dedicated scratch (offsets >= 2 of a
+        # shared buffer corrupted silently); widen only with an on-chip
+        # A/B (tools/exp_stream.py).
+        raise ValueError('streaming path supports leaf_rows <= 2')
     n = origin.shape[1]
     group = interleave * PACKET_ROWS * 128
     n_pad = -n % group
@@ -495,7 +555,8 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                           leaf_rows=leaf_rows, tlas_rows=tlas_rows,
                           res_nodes=res_nodes, res_tris=res_tris,
                           n_nodes=int(nodes.shape[0]),
-                          n_tris=int(tris_g.shape[0])),
+                          n_tris=int(tris_g.shape[0]),
+                          prefetch=PREFETCH_TOS),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(), table_block(), table_block()]
@@ -517,10 +578,21 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
             pltpu.VMEM(inst_rows.shape, jnp.float32),
         ] + ([
             # Miss-row scratch, padded to the (8, 128) f32 tile floor.
+            # Leaf-miss buffers and sem arrays are PER PACKET (not rows
+            # of one shared scratch): DMAs at row offsets >= 2 of a
+            # shared buffer / sem indices >= 6 of one array silently
+            # corrupt on real hardware, so each packet gets a dedicated
+            # buffer whose DMAs stay at the proven row-0/1 offsets,
+            # and the top-of-stack prefetch of one interleaved packet
+            # survives the other packet's leaf pop.
             pltpu.VMEM((8, 128), jnp.float32),         # node miss row
-            pltpu.VMEM((8, 128), jnp.float32),         # leaf miss rows
-            pltpu.SemaphoreType.DMA((5,)),
-        ] if (res_nodes < nodes.shape[0] or res_tris < tris_g.shape[0])
+            pltpu.SMEM((interleave,), jnp.int32),      # prefetched row
+            pltpu.SemaphoreType.DMA((4,)),  # 0..2 table loads, 3 node miss
+        ] + [pltpu.VMEM((8, 128), jnp.float32)         # leaf miss rows
+             for _ in range(interleave)]
+          + [pltpu.SemaphoreType.DMA((leaf_rows,))     # leaf-miss sems
+             for _ in range(interleave)]
+            if (res_nodes < nodes.shape[0] or res_tris < tris_g.shape[0])
             else [pltpu.SemaphoreType.DMA((3,))]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

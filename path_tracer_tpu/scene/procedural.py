@@ -330,3 +330,47 @@ def make_multi_mesh_scene(detail=1):
     scene.create_entity(ENTITY_TYPE_CUBE, material=cube_mat,
                         transform=Transform(position=[-2.5, -1.5, 0.5], scale=0.5))
     return scene
+
+
+def make_terrain_scene(side=900, with_sky=True):
+    """Config 6: a ~2*side^2-triangle displaced terrain of UNIQUE
+    geometry (no instancing to share), sized so the two-level tables
+    oversubscribe the 64 MB VMEM budget and the trace kernel streams
+    cold rows from HBM (ops/trace_inst.py residency_split). The
+    large-scene analog of the reference's 256 MiB+ SSBO scenes
+    (scene.cpp:1648-1661)."""
+    rng = np.random.default_rng(11)
+    scene = Scene()
+    x = np.linspace(-50, 50, side + 1, dtype=np.float32)
+    gx, gy = np.meshgrid(x, x, indexing='ij')
+    gz = (2.0 * np.sin(gx * 0.37) * np.cos(gy * 0.29)
+          + 0.7 * np.sin(gx * 1.7 + gy * 1.3)
+          + rng.normal(0, 0.15, gx.shape)).astype(np.float32)
+    pos = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    ii = np.arange(side * (side + 1)).reshape(side, side + 1)[:, :side]
+    a = ii.ravel()
+    b = a + 1
+    c = a + side + 1
+    d = c + 1
+    faces = np.concatenate([np.stack([a, b, c], 1),
+                            np.stack([b, d, c], 1)]).astype(np.int32)
+    nrm = np.zeros_like(pos)
+    nrm[:, 2] = 1.0
+    uv = ((pos[:, :2] + 50.0) / 100.0).astype(np.float32)
+    mesh = scene.create_mesh(name='terrain', positions=pos, normals=nrm,
+                             uvs=uv, faces=faces)
+    ground = scene.create_material(MATERIAL_TYPE_BASIC_DIFFUSE, name='ground',
+                                   base_color=np.asarray([0.35, 0.42, 0.25]))
+    scene.create_entity(ENTITY_TYPE_MESH_INSTANCE, mesh=mesh,
+                        material=ground)
+    cam = scene.create_entity(
+        ENTITY_TYPE_CAMERA,
+        transform=Transform(position=[0.0, -40.0, 14.0],
+                            rotation=[np.pi / 2.5, 0, 0]))
+    cam.pinhole.field_of_view_in_degrees = 75.0
+    if with_sky:
+        sky = scene.create_texture(name='sky', type=TEXTURE_TYPE_RADIANCE,
+                                   pixels=gradient_sky_texture())
+        scene.root.skybox_texture = sky
+        scene.root.skybox_sampling_probability = 0.25
+    return scene

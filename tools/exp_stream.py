@@ -21,35 +21,13 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
 
 
 def make_terrain_scene(side=900):
-    """side^2 quads * 2 tris of bumpy terrain: unique geometry."""
-    import numpy as np
-    from path_tracer_tpu.scene.model import (
-        ENTITY_TYPE_CAMERA, ENTITY_TYPE_MESH_INSTANCE, Scene)
+    """The shared config-6 terrain (scene/procedural.py), skyless for
+    kernel-only measurement."""
+    from path_tracer_tpu.scene.procedural import (
+        make_terrain_scene as make)
 
-    rng = np.random.default_rng(11)
-    scene = Scene()
-    x = np.linspace(-50, 50, side + 1, dtype=np.float32)
-    gx, gy = np.meshgrid(x, x, indexing='ij')
-    gz = (2.0 * np.sin(gx * 0.37) * np.cos(gy * 0.29)
-          + 0.7 * np.sin(gx * 1.7 + gy * 1.3)
-          + rng.normal(0, 0.15, gx.shape)).astype(np.float32)
-    pos = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-    ii = np.arange(side * (side + 1)).reshape(side, side + 1)[:, :side]
-    a = ii.ravel()
-    b = a + 1
-    c = a + side + 1
-    d = c + 1
-    faces = np.concatenate([np.stack([a, b, c], 1),
-                            np.stack([b, d, c], 1)]).astype(np.int32)
-    nrm = np.zeros_like(pos)
-    nrm[:, 2] = 1.0
-    uv = ((pos[:, :2] + 50.0) / 100.0).astype(np.float32)
-    mesh = scene.create_mesh(name='terrain', positions=pos, normals=nrm,
-                             uvs=uv, faces=faces)
-    scene.create_entity(ENTITY_TYPE_CAMERA)
-    mat = scene.create_material(1)
-    scene.create_entity(ENTITY_TYPE_MESH_INSTANCE, mesh=mesh, material=mat)
-    return scene, len(faces)
+    scene = make(side=side, with_sky=False)
+    return scene, len(scene.meshes[0].faces)
 
 
 def main():

@@ -25,13 +25,18 @@ SEED = 123
 def golden_configs():
     from path_tracer_tpu.scene.procedural import (
         make_360_scene, make_cornell_scene, make_multi_mesh_scene,
-        make_sphere_array_scene, make_viking_hall_scene)
+        make_sphere_array_scene, make_terrain_scene,
+        make_viking_hall_scene)
     return [
         ('1_cornell', make_cornell_scene, 0),
         ('2_spheres_dof', make_sphere_array_scene, 1),
         ('3_viking_hall', lambda: make_viking_hall_scene(detail=1), 0),
         ('4_360_mixed', make_360_scene, 2),
         ('5_multi_mesh_4k', lambda: make_multi_mesh_scene(detail=1), 0),
+        # On the TPU this frame runs the HBM-streaming inst kernel
+        # (tables 2.3x over the VMEM budget), so the golden check
+        # regression-tests the streamed traversal's numerics on-chip.
+        ('6_terrain_stream', lambda: make_terrain_scene(side=900), 0),
     ]
 
 
@@ -75,7 +80,10 @@ def main():
         'goldens must come from the portable CPU path '
         '(PYTHONPATH= JAX_PLATFORMS=cpu)')
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    only = set(sys.argv[1:])  # optional config names to (re)generate
     for name, make, cam in golden_configs():
+        if only and name not in only:
+            continue
         img = render_frame_seed(make, cam, SEED)
         # Per-scene Monte-Carlo noise floor: an independent-seed render
         # of the same frame. The TPU re-render decoheres from the CPU
