@@ -23,10 +23,18 @@ Editor surface (the reference's imgui_main.cpp browsers + inspectors):
 
   * GET  /scene                  hierarchy + materials + assets
   * POST /entity/update          name / transform / material / camera
+                                 (incl. camera model/aperture and
+                                 render_camera, :212-302)
   * POST /entity/create          {type, parent?, mesh?}   (:414-527)
   * POST /entity/delete          {id}
   * POST /material/update        {index, field, value}    (:212-412)
-  * POST /material/create        {type}                   (:609-664)
+  * POST /material/create /material/clone /material/delete (:609-664)
+  * POST /texture/import         {path} PNG/HDR           (:550-607)
+  * POST /texture/delete         {index}
+  * POST /skybox/set             {index} (-1 clears)
+  * POST /prefab/import          {path} OBJ+MTL           (:708-763)
+  * POST /prefab/instantiate     {index, parent?}
+  * POST /mesh/delete            {index}                  (:666-706)
   * POST /scene/save /scene/open {path}; /scene/new       (:926-967)
 
 Every mutation goes through the scene model's dirty flags, so the next
@@ -43,6 +51,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
@@ -89,7 +98,9 @@ h4 { margin:8px 0 4px 0 }
       <option value="plane">plane</option>
       <option value="sphere">sphere</option>
       <option value="cube">cube</option>
+      <option value="mesh">mesh</option>
     </select>
+    <select id="meshsel" style="max-width:80px"></select>
     <button id="create">+ entity</button>
     <button id="delete">delete</button>
   </div>
@@ -104,6 +115,18 @@ h4 { margin:8px 0 4px 0 }
       </select></h4>
   <div id="matlist"></div>
   <div id="matinspector" class="insp"></div>
+  <h4>Textures</h4>
+  <div class="row">
+    <input id="teximport" placeholder="image.png / .hdr" style="flex:1">
+    <button id="teximportbtn">import</button>
+  </div>
+  <div id="texlist"></div>
+  <h4>Prefabs</h4>
+  <div class="row">
+    <input id="prefabimport" placeholder="model.obj" style="flex:1">
+    <button id="prefabimportbtn">import</button>
+  </div>
+  <div id="prefablist"></div>
 </div>
 <div id="main">
 <div id="bar">
@@ -222,6 +245,47 @@ async function refreshScene() {
     div.onclick = () => { selMat = i; renderMatInspector(); refreshScene(); };
     ml.appendChild(div);
   });
+  const ms = document.getElementById('meshsel');
+  ms.innerHTML = '';
+  sceneDoc.meshes.forEach((name, i) => {
+    const o = document.createElement('option');
+    o.value = name; o.textContent = name;
+    ms.appendChild(o);
+  });
+  const tl = document.getElementById('texlist');
+  tl.innerHTML = '';
+  sceneDoc.textures.forEach((name, i) => {
+    const div = document.createElement('div');
+    div.className = 'ent';
+    div.textContent = name + (i === sceneDoc.skybox ? '  [skybox]' : '');
+    const sky = document.createElement('button');
+    sky.textContent = i === sceneDoc.skybox ? 'clear sky' : 'set sky';
+    sky.style.marginLeft = '6px';
+    sky.onclick = async ev => {
+      ev.stopPropagation();
+      await post('/skybox/set', {index: i === sceneDoc.skybox ? -1 : i});
+      refreshScene();
+    };
+    div.appendChild(sky);
+    tl.appendChild(div);
+  });
+  const pl = document.getElementById('prefablist');
+  pl.innerHTML = '';
+  sceneDoc.prefabs.forEach((name, i) => {
+    const div = document.createElement('div');
+    div.className = 'ent';
+    div.textContent = name;
+    const inst = document.createElement('button');
+    inst.textContent = 'instantiate';
+    inst.style.marginLeft = '6px';
+    inst.onclick = async ev => {
+      ev.stopPropagation();
+      await post('/prefab/instantiate', {index: i});
+      refreshScene();
+    };
+    div.appendChild(inst);
+    pl.appendChild(div);
+  });
   renderInspector();
   renderMatInspector();
 }
@@ -263,6 +327,35 @@ function renderInspector() {
   }
   if (e.fov !== null && e.fov !== undefined)
     box.appendChild(numRow('fov', [e.fov], (i, v) => upd({fov: v})));
+  if (e.camera) {
+    const row = document.createElement('div');
+    row.className = 'row';
+    const l = document.createElement('label');
+    l.textContent = 'projection';
+    row.appendChild(l);
+    const sel = document.createElement('select');
+    ['pinhole', 'thin lens', '360'].forEach((name, i) => {
+      const o = document.createElement('option');
+      o.value = i; o.textContent = name;
+      if (i === e.camera.model) o.selected = true;
+      sel.appendChild(o);
+    });
+    sel.onchange = () => upd({camera_model: parseInt(sel.value)});
+    row.appendChild(sel);
+    box.appendChild(row);
+    if (e.camera.model === 1) {
+      box.appendChild(numRow('aperture mm', [e.camera.aperture_diameter_in_mm],
+        (i, v) => upd({aperture_diameter_in_mm: v})));
+      box.appendChild(numRow('focus dist', [e.camera.focus_distance],
+        (i, v) => upd({focus_distance: v})));
+    }
+    const rc = document.createElement('button');
+    rc.textContent = sceneDoc.render_camera === e.id
+      ? 'rendering from this camera' : 'render using this camera';
+    rc.disabled = sceneDoc.render_camera === e.id;
+    rc.onclick = () => upd({render_camera: true});
+    box.appendChild(rc);
+  }
 }
 
 function renderMatInspector() {
@@ -273,6 +366,22 @@ function renderMatInspector() {
   const title = document.createElement('h4');
   title.textContent = 'Material: ' + m.name;
   box.appendChild(title);
+  const bar = document.createElement('div');
+  bar.className = 'row';
+  const cl = document.createElement('button');
+  cl.textContent = 'clone';
+  cl.onclick = async () => {
+    const r = await post('/material/clone', {index: selMat});
+    selMat = r.index; refreshScene();
+  };
+  const del = document.createElement('button');
+  del.textContent = 'delete';
+  del.onclick = async () => {
+    await post('/material/delete', {index: selMat});
+    selMat = -1; refreshScene();
+  };
+  bar.appendChild(cl); bar.appendChild(del);
+  box.appendChild(bar);
   const upd = (field, value) =>
     post('/material/update', {index: selMat, field, value})
       .then(refreshScene);
@@ -305,8 +414,23 @@ function renderMatInspector() {
 }
 
 document.getElementById('create').onclick = async () => {
-  await post('/entity/create',
-             {type: document.getElementById('createtype').value});
+  const type = document.getElementById('createtype').value;
+  const body = {type};
+  if (type === 'mesh') {
+    body.mesh = document.getElementById('meshsel').value;
+    if (!body.mesh) return;
+  }
+  await post('/entity/create', body);
+  refreshScene();
+};
+document.getElementById('teximportbtn').onclick = async () => {
+  await post('/texture/import',
+             {path: document.getElementById('teximport').value});
+  refreshScene();
+};
+document.getElementById('prefabimportbtn').onclick = async () => {
+  await post('/prefab/import',
+             {path: document.getElementById('prefabimport').value});
   refreshScene();
 };
 document.getElementById('delete').onclick = async () => {
@@ -464,17 +588,32 @@ class ViewerServer:
                           else None),
                 fov=(float(entity.pinhole.field_of_view_in_degrees)
                      if entity.type == ENTITY_TYPE_CAMERA else None),
+                camera=(dict(
+                    model=int(entity.camera_model),
+                    aperture_diameter_in_mm=float(
+                        entity.thin_lens.aperture_diameter_in_mm),
+                    focus_distance=float(entity.thin_lens.focus_distance),
+                ) if entity.type == ENTITY_TYPE_CAMERA else None),
             ))
             for child in entity.children:
                 walk(child, depth + 1)
 
         walk(scene.root, 0)
+        cams = [e for e in scene.walk_entities()
+                if e.type == ENTITY_TYPE_CAMERA]
+        render_cam = (self._eid(cams[self.session.camera_index])
+                      if self.session.camera_index < len(cams) else -1)
+        sky = scene.root.skybox_texture
+        tex_index = {id(t): i for i, t in enumerate(scene.textures)}
         return dict(
             entities=entities,
             materials=[self.material_doc(m) for m in scene.materials],
             textures=[t.name for t in scene.textures],
             meshes=[m.name for m in scene.meshes],
-            prefabs=[p.name for p in scene.prefabs],
+            prefabs=[(p.entity.name if p.entity is not None else 'Prefab')
+                     for p in scene.prefabs],
+            render_camera=render_cam,
+            skybox=tex_index.get(id(sky), -1) if sky is not None else -1,
         )
 
     def material_doc(self, material):
@@ -539,9 +678,28 @@ class ViewerServer:
             if 'material' in body:
                 entity.material = scene.materials[int(body['material'])]
                 scene.mark_dirty(SCENE_DIRTY_SHAPES)
-            if 'fov' in body and entity.type == ENTITY_TYPE_CAMERA:
-                entity.pinhole.field_of_view_in_degrees = float(body['fov'])
-                scene.mark_dirty(SCENE_DIRTY_CAMERAS)
+            if entity.type == ENTITY_TYPE_CAMERA:
+                # Camera inspector (imgui_main.cpp:212-302): projection
+                # model, per-model parameters, "render using this
+                # camera".
+                if 'fov' in body:
+                    entity.pinhole.field_of_view_in_degrees = \
+                        float(body['fov'])
+                    scene.mark_dirty(SCENE_DIRTY_CAMERAS)
+                if 'camera_model' in body:
+                    entity.camera_model = int(body['camera_model'])
+                    scene.mark_dirty(SCENE_DIRTY_CAMERAS)
+                for field in ('aperture_diameter_in_mm',
+                              'focus_distance'):
+                    if field in body:
+                        setattr(entity.thin_lens, field,
+                                float(body[field]))
+                        scene.mark_dirty(SCENE_DIRTY_CAMERAS)
+                if body.get('render_camera'):
+                    cams = [e for e in scene.walk_entities()
+                            if e.type == ENTITY_TYPE_CAMERA]
+                    self.session.camera_index = cams.index(entity)
+                    scene.mark_dirty(SCENE_DIRTY_CAMERAS)
             return {}
         if path == '/entity/create':
             types = dict(container=ENTITY_TYPE_CONTAINER,
@@ -593,6 +751,66 @@ class ViewerServer:
             scene.materials.append(material)
             scene.mark_dirty(SCENE_DIRTY_MATERIALS)
             return dict(index=len(scene.materials) - 1)
+        if path == '/material/clone':
+            # The reference's material-browser Clone (imgui_main.cpp
+            # :609-664): value copy, texture references shared.
+            src = scene.materials[int(body['index'])]
+            clone = dataclasses.replace(src, name=src.name + ' (copy)')
+            for f in dataclasses.fields(clone):
+                value = getattr(clone, f.name)
+                if isinstance(value, np.ndarray):
+                    setattr(clone, f.name, value.copy())
+            scene.materials.append(clone)
+            scene.mark_dirty(SCENE_DIRTY_MATERIALS)
+            return dict(index=len(scene.materials) - 1)
+        if path == '/material/delete':
+            scene.destroy_material(scene.materials[int(body['index'])])
+            return {}
+        if path == '/texture/import':
+            from ..core.constants import (
+                TEXTURE_TYPE_RADIANCE, TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA)
+            from ..utils.image import load_hdr, load_png
+            p = str(body['path'])
+            if p.lower().endswith('.hdr'):
+                pixels, ttype = load_hdr(p), TEXTURE_TYPE_RADIANCE
+            else:
+                pixels, ttype = load_png(p), TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA
+            texture = scene.create_texture(
+                name=body.get('name', os.path.basename(p)),
+                type=int(body.get('type', ttype)),
+                pixels=np.asarray(pixels, np.float32))
+            return dict(index=scene.textures.index(texture))
+        if path == '/texture/delete':
+            scene.destroy_texture(scene.textures[int(body['index'])])
+            return {}
+        if path == '/skybox/set':
+            from ..scene.model import SCENE_DIRTY_SKYBOX_TEXTURE
+            index = int(body['index'])
+            scene.root.skybox_texture = (scene.textures[index]
+                                         if index >= 0 else None)
+            scene.mark_dirty(SCENE_DIRTY_SKYBOX_TEXTURE)
+            return {}
+        if path == '/prefab/import':
+            from ..scene.objload import load_model_as_prefab
+            from ..utils.image import load_hdr, load_png
+
+            def loader(tex_path):
+                load = (load_hdr if tex_path.lower().endswith('.hdr')
+                        else load_png)
+                return np.asarray(load(tex_path), np.float32)
+
+            prefab = load_model_as_prefab(scene, str(body['path']),
+                                          texture_loader=loader)
+            return dict(index=scene.prefabs.index(prefab))
+        if path == '/prefab/instantiate':
+            parent = (self._entity_by_id(int(body['parent']))
+                      if 'parent' in body else None)
+            entity = scene.instantiate_prefab(
+                scene.prefabs[int(body['index'])], parent=parent)
+            return dict(id=self._eid(entity))
+        if path == '/mesh/delete':
+            scene.destroy_mesh(scene.meshes[int(body['index'])])
+            return {}
         if path == '/scene/save':
             from ..scene.serializer import save_scene
             save_scene(str(body['path']), scene)

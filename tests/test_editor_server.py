@@ -114,3 +114,87 @@ def test_editor_end_to_end(tmp_path):
             assert res['entity'] >= 0
     finally:
         server.shutdown()
+
+
+def test_editor_assets_and_cameras(tmp_path):
+    """The reference's asset browsers + camera inspector
+    (imgui_main.cpp:212-302, 550-763): texture/prefab import, skybox
+    assignment, prefab instantiation, material clone/delete, camera
+    projection + render-camera selection."""
+    from path_tracer_tpu.utils.image import save_hdr, save_png
+
+    session = Session(make_default_scene(), width=48, height=27)
+    server = ViewerServer(session, port=0)
+    server.serve_background()
+    base = f'http://127.0.0.1:{server.port}'
+    try:
+        # --- texture import (PNG reflectance + HDR radiance) ------------
+        png_path = os.path.join(tmp_path, 'check.png')
+        save_png(png_path, np.tile(np.asarray(
+            [[[0.8, 0.2, 0.2, 1.0]]], np.float32), (8, 8, 1)))
+        hdr_path = os.path.join(tmp_path, 'sky.hdr')
+        save_hdr(hdr_path, np.full((8, 16, 3), 0.5, np.float32))
+        t_png = _post(base, '/texture/import', {'path': png_path})
+        t_hdr = _post(base, '/texture/import', {'path': hdr_path})
+        doc = _get(base, '/scene')
+        assert doc['textures'][t_png['index']] == 'check.png'
+        assert session.scene.textures[t_hdr['index']].type == 2  # radiance
+
+        # --- skybox set/clear flows through the dirty flags -------------
+        _post(base, '/skybox/set', {'index': t_hdr['index']})
+        assert session.scene.dirty_flags != 0
+        _png(base)
+        doc = _get(base, '/scene')
+        assert doc['skybox'] == t_hdr['index']
+
+        # --- material texture assignment + clone/delete -----------------
+        plane = next(e for e in _get(base, '/scene')['entities']
+                     if e['name'] == 'Plane')
+        mat = plane['material']
+        _post(base, '/material/update',
+              {'index': mat, 'field': 'base_texture',
+               'value': t_png['index']})
+        doc = _get(base, '/scene')
+        got = doc['materials'][mat]['params']['base_texture']['value']
+        assert got == t_png['index']
+        clone = _post(base, '/material/clone', {'index': mat})
+        doc = _get(base, '/scene')
+        assert doc['materials'][clone['index']]['name'].endswith('(copy)')
+        n = len(doc['materials'])
+        _post(base, '/material/delete', {'index': clone['index']})
+        assert len(_get(base, '/scene')['materials']) == n - 1
+
+        # --- OBJ prefab import + instantiation ---------------------------
+        obj_path = os.path.join(tmp_path, 'tri.obj')
+        with open(obj_path, 'w') as f:
+            f.write('v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\n'
+                    'f 1//1 2//1 3//1\n')
+        pf = _post(base, '/prefab/import', {'path': obj_path})
+        doc = _get(base, '/scene')
+        assert len(doc['prefabs']) == pf['index'] + 1
+        n_ent = len(doc['entities'])
+        inst = _post(base, '/prefab/instantiate', {'index': pf['index']})
+        doc = _get(base, '/scene')
+        assert len(doc['entities']) > n_ent
+        assert any(e['id'] == inst['id'] for e in doc['entities'])
+        _png(base)  # recompiles with the new mesh instance
+
+        # --- second camera: thin-lens params + render-camera switch -----
+        cam = _post(base, '/entity/create', {'type': 'camera'})
+        _post(base, '/entity/update',
+              {'id': cam['id'], 'camera_model': 1,
+               'aperture_diameter_in_mm': 4.0, 'focus_distance': 2.5,
+               'transform': {'position': [0.0, -3.0, 1.0]}})
+        doc = _get(base, '/scene')
+        c = next(e for e in doc['entities'] if e['id'] == cam['id'])
+        assert c['camera']['model'] == 1
+        assert abs(c['camera']['focus_distance'] - 2.5) < 1e-6
+        assert doc['render_camera'] != cam['id']
+        _post(base, '/entity/update',
+              {'id': cam['id'], 'render_camera': True})
+        _png(base)  # recompile picks up the new camera + model
+        doc = _get(base, '/scene')
+        assert doc['render_camera'] == cam['id']
+        assert session.config.camera_model == 1
+    finally:
+        server.shutdown()
