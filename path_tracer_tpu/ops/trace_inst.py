@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.bvh8 import (
-    AXIS_LANE, BIG, GEOM5_STRIDE, LEAF_MAX, LEAF_ROW_LIMIT, META_LANE)
+    BIG, GEOM5_STRIDE, LEAF_MAX, LEAF_ROW_LIMIT, NODE_LAYOUT)
 
 PACKET_ROWS = 8
 INTERLEAVE = 2
@@ -90,7 +90,9 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_in_ref,
             t_ref, face_ref, fu_ref, fv_ref, inst_ref, *rest,
             interleave, leaf_rows, tlas_rows, res_nodes, res_tris,
-            n_nodes, n_tris, prefetch):
+            n_nodes, n_tris, prefetch, width=8):
+    meta_lane = NODE_LAYOUT[width]['meta']
+    axis_lane = NODE_LAYOUT[width]['axis']
     stream_nodes = res_nodes < n_nodes
     stream_tris = res_tris < n_tris
     streaming = stream_nodes or stream_tris
@@ -171,7 +173,8 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         fwd = (jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0)
         pk.append(dict(sl=sl, fwd=fwd))
 
-    pow2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    pow2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
+        jnp.int32, (width, 1), 0)
 
     t_ref[:] = t_in_ref[:]
     face_ref[:] = jnp.full_like(face_ref, -1)
@@ -275,13 +278,13 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
 
         t_cur = t_ref[sl, :]
         rows = []
-        for ch in range(8):
+        for ch in range(width):
             tx0 = bc(ch) * inv_x - oinv_x
-            ty0 = bc(8 + ch) * inv_y - oinv_y
-            tz0 = bc(16 + ch) * inv_z - oinv_z
-            tx1 = bc(24 + ch) * inv_x - oinv_x
-            ty1 = bc(32 + ch) * inv_y - oinv_y
-            tz1 = bc(40 + ch) * inv_z - oinv_z
+            ty0 = bc(width + ch) * inv_y - oinv_y
+            tz0 = bc(2 * width + ch) * inv_z - oinv_z
+            tx1 = bc(3 * width + ch) * inv_x - oinv_x
+            ty1 = bc(4 * width + ch) * inv_y - oinv_y
+            tz1 = bc(5 * width + ch) * inv_z - oinv_z
             entry = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                             jnp.minimum(ty0, ty1)),
                                 jnp.minimum(tz0, tz1))
@@ -303,20 +306,20 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             fwd = (fwd_ref[p, 0] != 0, fwd_ref[p, 1] != 0,
                    fwd_ref[p, 2] != 0)
         if stream_nodes:
-            ax = nrow_scr[0, AXIS_LANE]
+            ax = nrow_scr[0, axis_lane]
         else:
-            ax = nodes_ref[v, AXIS_LANE]
+            ax = nodes_ref[v, axis_lane]
         flip = jnp.where(ax == 0.0, fwd[0],
                          jnp.where(ax == 1.0, fwd[1], fwd[2]))
-        for i in range(8):
-            c_f, c_r = i, 7 - i
+        for i in range(width):
+            c_f, c_r = i, width - 1 - i
             take = jnp.where(flip, (mask >> c_r) & 1, (mask >> c_f) & 1)
             if stream_nodes:
-                m = jnp.where(flip, nrow_scr[0, META_LANE + c_r],
-                              nrow_scr[0, META_LANE + c_f])
+                m = jnp.where(flip, nrow_scr[0, meta_lane + c_r],
+                              nrow_scr[0, meta_lane + c_f])
             else:
-                m = jnp.where(flip, nodes_ref[v, META_LANE + c_r],
-                              nodes_ref[v, META_LANE + c_f])
+                m = jnp.where(flip, nodes_ref[v, meta_lane + c_r],
+                              nodes_ref[v, meta_lane + c_f])
             ok = (take != 0) & (m != 0.0) & (sp < STACK_DEPTH)
 
             @pl.when(ok)
@@ -491,10 +494,10 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'interleave', 'leaf_rows',
-                                    'tlas_rows'))
+                                    'tlas_rows', 'width'))
 def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                tlas_rows, interpret=False, interleave=INTERLEAVE,
-               leaf_rows=LEAF_MAX // 8):
+               leaf_rows=LEAF_MAX // 8, width=8):
     """Trace world rays against the two-level instanced tables.
 
     nodes: (W, 128) [TLAS rows | rebased mesh rows] (row 0 = TLAS
@@ -556,7 +559,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                           res_nodes=res_nodes, res_tris=res_tris,
                           n_nodes=int(nodes.shape[0]),
                           n_tris=int(tris_g.shape[0]),
-                          prefetch=PREFETCH_TOS),
+                          prefetch=PREFETCH_TOS, width=width),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(), table_block(), table_block()]

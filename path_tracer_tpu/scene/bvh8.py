@@ -51,6 +51,13 @@ import numpy as np
 
 BIG = 1.0e9            # box-miss sentinel; finite so slab math never NaNs
 WIDE_WIDTH = 8
+# Lane layout per node width: AABBs occupy 6*width lanes (coordinate-
+# major), metas the next `width`, then the traversal axis. A 16-wide
+# node still fits ONE 128-lane row (96 + 16 + 1 = 113 lanes): the
+# packet kernel's per-pop cost is dominated by fixed overheads (loop
+# skeleton, vector->scalar mask crossing, row fetch), so doubling the
+# arity amortizes them over 2x the children per pop.
+NODE_LAYOUT = {8: dict(meta=48, axis=64), 16: dict(meta=96, axis=112)}
 TRI_STRIDE = 32
 TRIS_PER_ROW = 4
 LEAF_MAX = 16          # triangles per leaf (LEAF_MAX/8 v5 rows)
@@ -76,6 +83,7 @@ class WideBvh:
     face_map: np.ndarray   # (R*4,) int32 -> input face index, -1 = padding
     num_nodes: int
     num_leaves: int
+    width: int = WIDE_WIDTH
 
 
 # --- Geometry-only leaf layout for the v5 kernel ------------------------
@@ -114,8 +122,9 @@ def pack_wide_geom(wide: 'WideBvh',
     tri_uvs = np.asarray(tri_uvs, np.float32)
     tri_shape = np.asarray(tri_shape, np.float32)
 
+    meta_lane = NODE_LAYOUT[wide.width]['meta']
     nodes_g = wide.nodes.copy()
-    metas = nodes_g[:, META_LANE:META_LANE + WIDE_WIDTH]
+    metas = nodes_g[:, meta_lane:meta_lane + wide.width]
     leaf_mask = metas < 0.0
     u = -metas[leaf_mask]
     old_rows = (u % LEAF_ROW_LIMIT).astype(np.int64)
@@ -151,7 +160,7 @@ def pack_wide_geom(wide: 'WideBvh',
             f'encoding (~{LEAF_ROW_LIMIT * 8 / 1e6:.0f}M triangles)')
 
     metas[leaf_mask] = new_metas
-    nodes_g[:, META_LANE:META_LANE + WIDE_WIDTH] = metas
+    nodes_g[:, meta_lane:meta_lane + wide.width] = metas
     return nodes_g, tris_g, attrs, face_map_g.astype(np.int32)
 
 
@@ -172,7 +181,8 @@ def _subtree_face_ranges(a, b):
     return lo, hi
 
 
-def collapse_bvh2_sah(node_min, node_max, a, b, leaf_max=LEAF_MAX):
+def collapse_bvh2_sah(node_min, node_max, a, b, leaf_max=LEAF_MAX,
+                      width=WIDE_WIDTH):
     """DP-optimal 8-wide collapse of a binary BVH (Ylitie et al. 2017,
     "Efficient Incoherent Ray Traversal on GPUs through Compressed Wide
     BVHs", adapted to this kernel's cost model).
@@ -233,9 +243,9 @@ def collapse_bvh2_sah(node_min, node_max, a, b, leaf_max=LEAF_MAX):
             depth[ai[i] + 1] = depth[i] + 1
 
     INF = np.inf
-    cost = np.full((n, 9), INF)
-    split_l = np.zeros((n, 9), np.int8)   # 0 = single root at this node
-    j8 = np.zeros(n, np.int8)             # left budget of the 8-way dist
+    cost = np.full((n, width + 1), INF)
+    split_l = np.zeros((n, width + 1), np.int8)  # 0 = single root here
+    j8 = np.zeros(n, np.int8)          # left budget of the width-way dist
     leaf1 = is_leaf.copy()                # C(n,1) chose leaf
     cost[is_leaf, 1:] = (area[is_leaf] * leaf_rows_cost[is_leaf])[:, None]
 
@@ -246,26 +256,26 @@ def collapse_bvh2_sah(node_min, node_max, a, b, leaf_max=LEAF_MAX):
         idx = interior_idx[depth[interior_idx] == d]
         if idx.size == 0:
             continue
-        L = cost[a[idx]]          # (k, 9)
+        L = cost[a[idx]]          # (k, width+1)
         R = cost[a[idx] + 1]
         k = idx.size
-        merge_cost = np.full((k, 9), INF)
-        merge_arg = np.zeros((k, 9), np.int8)
-        for m in range(2, 9):
+        merge_cost = np.full((k, width + 1), INF)
+        merge_arg = np.zeros((k, width + 1), np.int8)
+        for m in range(2, width + 1):
             cands = np.stack([L[:, rl] + R[:, m - rl]
                               for rl in range(1, m)], axis=1)
             arg = cands.argmin(axis=1)
             merge_cost[:, m] = cands[np.arange(k), arg]
             merge_arg[:, m] = (arg + 1).astype(np.int8)
 
-        node_cost = area[idx] + merge_cost[:, 8]
+        node_cost = area[idx] + merge_cost[:, width]
         leaf_ok = count[idx] <= leaf_max
         leaf_cost = np.where(leaf_ok, area[idx] * leaf_rows_cost[idx], INF)
         c1 = np.minimum(leaf_cost, node_cost)
         leaf1[idx] = leaf_cost <= node_cost
-        j8[idx] = merge_arg[:, 8]
+        j8[idx] = merge_arg[:, width]
         cost[idx, 1] = c1
-        for m in range(2, 9):
+        for m in range(2, width + 1):
             prev = cost[idx, m - 1]
             better = merge_cost[:, m] < prev
             cost[idx, m] = np.where(better, merge_cost[:, m], prev)
@@ -300,7 +310,7 @@ def collapse_bvh2_sah(node_min, node_max, a, b, leaf_max=LEAF_MAX):
         w, nd = queue.popleft()
         jl = int(j8[nd])
         members = (roots_of(int(a[nd]), jl)
-                   + roots_of(int(a[nd]) + 1, 8 - jl))
+                   + roots_of(int(a[nd]) + 1, width - jl))
         cent = 0.5 * (node_min[members] + node_max[members])
         axis = int(np.argmax(cent.max(axis=0) - cent.min(axis=0)))
         members.sort(key=lambda m: 0.5 * (node_min[m][axis]
@@ -316,7 +326,8 @@ def collapse_bvh2_sah(node_min, node_max, a, b, leaf_max=LEAF_MAX):
     return children, axes
 
 
-def collapse_bvh2(node_min, node_max, a, b, leaf_max=LEAF_MAX):
+def collapse_bvh2(node_min, node_max, a, b, leaf_max=LEAF_MAX,
+                  width=WIDE_WIDTH):
     """Collapse a binary BVH into wide-node records.
 
     Greedy top-down: each wide node starts from one binary subtree root
@@ -363,7 +374,7 @@ def collapse_bvh2(node_min, node_max, a, b, leaf_max=LEAF_MAX):
     while queue:
         w, root = queue.popleft()
         members = [root]
-        while len(members) < WIDE_WIDTH:
+        while len(members) < width:
             cands = [m for m in members if not leafable(m)]
             if not cands:
                 break
@@ -386,7 +397,8 @@ def collapse_bvh2(node_min, node_max, a, b, leaf_max=LEAF_MAX):
 
 
 def pack_wide(children, axes, node_min, node_max,
-              tri_positions, tri_normals, tri_uvs, tri_shape):
+              tri_positions, tri_normals, tri_uvs, tri_shape,
+              width=WIDE_WIDTH):
     """Pack collapsed wide nodes + re-blocked triangles into kernel rows.
 
     tri_* are in the binary BVH's permuted face order (the order the
@@ -395,11 +407,13 @@ def pack_wide(children, axes, node_min, node_max,
     """
     node_min = np.asarray(node_min, np.float32)
     node_max = np.asarray(node_max, np.float32)
+    meta_lane = NODE_LAYOUT[width]['meta']
+    axis_lane = NODE_LAYOUT[width]['axis']
     w = len(children)
     nodes = np.zeros((w, 128), np.float32)
-    nodes[:, 0:24] = BIG          # lo of empty slots
-    nodes[:, 24:48] = -BIG        # hi of empty slots
-    nodes[:, AXIS_LANE] = np.asarray(axes, np.float32)
+    nodes[:, 0:3 * width] = BIG          # lo of empty slots
+    nodes[:, 3 * width:6 * width] = -BIG  # hi of empty slots
+    nodes[:, axis_lane] = np.asarray(axes, np.float32)
 
     face_map = []
     num_leaves = 0
@@ -421,9 +435,9 @@ def pack_wide(children, axes, node_min, node_max,
                 meta = p0
             lo, hi = node_min[m], node_max[m]
             for ax in range(3):
-                nodes[widx, 8 * ax + c] = lo[ax]
-                nodes[widx, 24 + 8 * ax + c] = hi[ax]
-            nodes[widx, META_LANE + c] = np.float32(meta)
+                nodes[widx, width * ax + c] = lo[ax]
+                nodes[widx, 3 * width + width * ax + c] = hi[ax]
+            nodes[widx, meta_lane + c] = np.float32(meta)
 
     if not face_map:
         face_map = [-1] * TRIS_PER_ROW
@@ -451,11 +465,12 @@ def pack_wide(children, axes, node_min, node_max,
     tris[r, base + 24] = tri_shape[src]
 
     return WideBvh(nodes=nodes, tris=tris, face_map=face_map,
-                   num_nodes=w, num_leaves=num_leaves)
+                   num_nodes=w, num_leaves=num_leaves, width=width)
 
 
 def build_wide_bvh(tri_positions, tri_normals, tri_uvs, tri_shape,
-                   leaf_max=LEAF_MAX, collapse='sah', spatial=True):
+                   leaf_max=LEAF_MAX, collapse='sah', spatial=True,
+                   width=WIDE_WIDTH):
     """World-space triangles -> packed wide BVH tables.
 
     tri_positions/tri_normals: (F, 3 verts, 3); tri_uvs: (F, 3, 2);
@@ -471,12 +486,13 @@ def build_wide_bvh(tri_positions, tri_normals, tri_uvs, tri_shape,
     order = bvh.face_order
     collapse_fn = collapse_bvh2_sah if collapse == 'sah' else collapse_bvh2
     children, axes = collapse_fn(bvh.node_min, bvh.node_max, bvh.a, bvh.b,
-                                 leaf_max=leaf_max)
+                                 leaf_max=leaf_max, width=width)
     wide = pack_wide(children, axes, bvh.node_min, bvh.node_max,
                      tri_positions[order],
                      np.asarray(tri_normals, np.float32)[order],
                      np.asarray(tri_uvs, np.float32)[order],
-                     np.asarray(tri_shape, np.float32)[order])
+                     np.asarray(tri_shape, np.float32)[order],
+                     width=width)
     # Remap face_map back to the caller's face order for testability.
     valid = wide.face_map >= 0
     remapped = wide.face_map.copy()

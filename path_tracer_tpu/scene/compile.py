@@ -449,7 +449,7 @@ def choose_packet_mode(instances):
     return 'inst' if instances else 'flat'
 
 
-def _pack_tlas_rows(bounds_min, bounds_max):
+def _pack_tlas_rows(bounds_min, bounds_max, width=None):
     """Wide TLAS rows over instance world AABBs (v6 top level).
 
     Same row format as mesh wide nodes; leaf metas carry
@@ -461,33 +461,36 @@ def _pack_tlas_rows(bounds_min, bounds_max):
     from . import bvh8
     from .bvh import build_bvh
 
+    width = width or bvh8.WIDE_WIDTH
+    meta_lane = bvh8.NODE_LAYOUT[width]['meta']
+    axis_lane = bvh8.NODE_LAYOUT[width]['axis']
     lo = np.asarray(bounds_min, np.float32)
     hi = np.asarray(bounds_max, np.float32)
     tris = np.stack([lo, hi, 0.5 * (lo + hi)], axis=1)  # (I, 3, 3)
     bvh = build_bvh(tris, max_leaf_faces=1)
     children, axes = bvh8.collapse_bvh2_sah(
-        bvh.node_min, bvh.node_max, bvh.a, bvh.b, leaf_max=1)
+        bvh.node_min, bvh.node_max, bvh.a, bvh.b, leaf_max=1, width=width)
     rows = np.zeros((len(children), 128), np.float32)
-    rows[:, 0:24] = bvh8.BIG
-    rows[:, 24:48] = -bvh8.BIG
-    rows[:, bvh8.AXIS_LANE] = np.asarray(axes, np.float32)
+    rows[:, 0:3 * width] = bvh8.BIG
+    rows[:, 3 * width:6 * width] = -bvh8.BIG
+    rows[:, axis_lane] = np.asarray(axes, np.float32)
     for w, entries in enumerate(children):
         for c, (kind, p0, _count, m) in enumerate(entries):
             blo, bhi = bvh.node_min[m], bvh.node_max[m]
             for ax in range(3):
-                rows[w, 8 * ax + c] = blo[ax]
-                rows[w, 24 + 8 * ax + c] = bhi[ax]
+                rows[w, width * ax + c] = blo[ax]
+                rows[w, 3 * width + width * ax + c] = bhi[ax]
             if kind == 'leaf':
                 inst = int(bvh.face_order[p0])
-                rows[w, bvh8.META_LANE + c] = np.float32(INST_BASE + inst)
+                rows[w, meta_lane + c] = np.float32(INST_BASE + inst)
             else:
                 # Interior children reference other TLAS rows; the TLAS
                 # sits at the head of the node table, so no rebase.
-                rows[w, bvh8.META_LANE + c] = np.float32(p0)
+                rows[w, meta_lane + c] = np.float32(p0)
     return rows
 
 
-def _build_inst_tables(instances, inst_bounds):
+def _build_inst_tables(instances, inst_bounds, width=None):
     """Two-level (v6) tables: per-unique-mesh object-space wide BVHs,
     rebased + concatenated behind the TLAS, plus per-instance rows.
 
@@ -495,6 +498,8 @@ def _build_inst_tables(instances, inst_bounds):
     """
     from . import bvh8
 
+    width = width or bvh8.WIDE_WIDTH
+    meta_lane = bvh8.NODE_LAYOUT[width]['meta']
     mesh_tables = {}
     order = []
     for _, entity, _, _ in instances:
@@ -506,12 +511,13 @@ def _build_inst_tables(instances, inst_bounds):
         nrm = np.asarray(mesh.normals, np.float32)[faces]
         uv = np.asarray(mesh.uvs, np.float32)[faces]
         shp = np.zeros(len(faces), np.float32)
-        wide = bvh8.build_wide_bvh(tri, nrm, uv, shp, spatial=True)
+        wide = bvh8.build_wide_bvh(tri, nrm, uv, shp, spatial=True,
+                                   width=width)
         mesh_tables[id(mesh)] = bvh8.pack_wide_geom(wide, tri, nrm, uv, shp)
         order.append(id(mesh))
 
     tlas = _pack_tlas_rows([b[0] for b in inst_bounds],
-                           [b[1] for b in inst_bounds])
+                           [b[1] for b in inst_bounds], width=width)
     t_rows = len(tlas)
 
     node_parts, tri_parts, attr_parts, fmap_parts = [], [], [], []
@@ -520,7 +526,7 @@ def _build_inst_tables(instances, inst_bounds):
     for key in order:
         ng, tg, at, fm = mesh_tables[key]
         ng = ng.copy()
-        metas = ng[:, bvh8.META_LANE:bvh8.META_LANE + 8]
+        metas = ng[:, meta_lane:meta_lane + width]
         interior = metas > 0
         leafm = metas < 0
         metas[interior] += t_rows + nb
@@ -528,7 +534,7 @@ def _build_inst_tables(instances, inst_bounds):
         row = u % bvh8.LEAF_ROW_LIMIT + rb
         cnt = u // bvh8.LEAF_ROW_LIMIT
         metas[leafm] = -(cnt * bvh8.LEAF_ROW_LIMIT + row)
-        ng[:, bvh8.META_LANE:bvh8.META_LANE + 8] = metas
+        ng[:, meta_lane:meta_lane + width] = metas
         node_base[key] = t_rows + nb
         row_base[key] = rb
         nb += len(ng)
@@ -572,6 +578,27 @@ def _build_inst_tables(instances, inst_bounds):
         inst_rows=inst_rows,
         inst_aux=inst_aux,
     ), t_rows
+
+
+def collect_mesh_instances(scene):
+    """(instances, bounds) in walk order, as _build_inst_tables expects:
+    instances = [(shape_index, entity, world, object_from_world)], and
+    bounds = [(lo, hi)] world AABBs per instance. Mirrors the compile
+    pass's shape walk, for tools that rebuild inst tables standalone."""
+    instances, bounds = [], []
+    index = 0
+    for entity, world in scene.walk_entities_with_transform():
+        if entity.type not in _ENTITY_TO_SHAPE_TYPE:
+            continue
+        if entity.type == ENTITY_TYPE_MESH_INSTANCE and entity.mesh is None:
+            continue
+        stype = _ENTITY_TO_SHAPE_TYPE[entity.type]
+        if stype == SHAPE_TYPE_MESH_INSTANCE:
+            inv = np.linalg.inv(world.astype(np.float64)).astype(np.float32)
+            instances.append((index, entity, world, inv))
+            bounds.append(_shape_bounds(stype, world, entity.mesh))
+        index += 1
+    return instances, bounds
 
 
 def gather_world_tris(instances):

@@ -78,6 +78,34 @@ def profile_scene(name, scene, camera_model=0):
     res['sort'] = timed('sort (argsort+row gather)', wf._sort_jit,
                         packed, state)
 
+    # Split the sort: argsort of the key vs the packed row gather.
+    @jax.jit
+    def _argsort_only(s):
+        key = wf._ray_sort_key(packed, s['origin'], s['direction'])
+        return jnp.argsort(key)
+
+    perm = _argsort_only(state)
+    res['sort_argsort'] = timed('  argsort only', _argsort_only, state)
+
+    @jax.jit
+    def _permute_rows(s, perm):
+        leaves = jax.tree_util.tree_leaves(s)
+        rows = []
+        for leaf in leaves:
+            planes = ([leaf] if leaf.ndim == 1
+                      else [leaf[i] for i in range(leaf.shape[0])])
+            for p in planes:
+                if p.dtype != jnp.float32:
+                    p = jax.lax.bitcast_convert_type(p, jnp.float32)
+                rows.append(p)
+        width = -(-len(rows) // 8) * 8
+        rows += [jnp.zeros_like(rows[0])] * (width - len(rows))
+        m = jnp.stack(rows, axis=0)
+        return jnp.take(m.T, perm, axis=0).T
+
+    res['sort_gather'] = timed('  row gather only (N,32)',
+                               _permute_rows, state, perm)
+
     trace_jit = jax.jit(partial(trace, layout=layout))
     res['trace'] = timed(
         'trace', lambda: trace_jit(packed, origin=state['origin'],
@@ -110,10 +138,22 @@ def profile_scene(name, scene, camera_model=0):
                                 state['rng_state'], state['lane'],
                                 state['accum']))
 
+    # _render_jit / _render_sorted_jit DONATE the state; repeated timing
+    # over one state needs a local non-donating jit (wavefront.py:236).
+    render_nodonate = jax.jit(
+        wf.render_rounds,
+        static_argnames=('layout', 'config', 'rounds', 'sort_each_round'))
     res['round_fused'] = timed(
-        'full round (render_jit)', wf._render_jit, packed, layout, config,
-        state, jnp.float32(0.05), 1)
-    res['round_total'] = res['sort'] + res['round_fused']
+        'full round (no sort)', render_nodonate, packed, layout, config,
+        state, jnp.float32(0.05), rounds=1)
+    if wf.wants_sort(config, layout):
+        res['round_fused_sorted'] = timed(
+            'full round (fused sort)', render_nodonate, packed, layout,
+            config, state, jnp.float32(0.05), rounds=1,
+            sort_each_round=True)
+        res['round_total'] = res['round_fused_sorted']
+    else:
+        res['round_total'] = res['round_fused']
     lanes = WIDTH * HEIGHT
     res['mrays'] = round(lanes / res['round_total'] / 1e6, 2)
     print(f'# [{name}] round total {res["round_total"]*1e3:.1f} ms '
