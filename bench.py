@@ -129,6 +129,25 @@ def check_goldens():
     return failures
 
 
+def warm_session():
+    """Absorb one-time runtime session costs (device attach, relay
+    handshake, first-program execution) BEFORE any config's clock
+    starts. On this deferred-dispatch runtime the first readback of a
+    process pays session establishment that has nothing to do with the
+    scene being benched -- measured 2-33 s for a trivial program, and
+    anomalously up to ~200 s when the relay's server-side program cache
+    is cold (tools/profile_compile.py). Configs then report only their
+    own compile+warmup."""
+    import jax
+    import jax.numpy as jnp
+    t0 = time.time()
+    n = len(jax.devices())
+    x = jax.jit(lambda x: x + 1)(jnp.ones(128))
+    float(jnp.sum(x))
+    print(f'# session init ({n} device(s)): {time.time()-t0:.1f}s',
+          file=sys.stderr)
+
+
 def main():
     from path_tracer_tpu.scene.procedural import (
         make_360_scene,
@@ -139,6 +158,7 @@ def main():
         make_viking_hall_scene,
     )
 
+    warm_session()
     configs = {}
     configs['1_cornell'] = bench_scene('1_cornell', make_cornell_scene())
     configs['2_spheres_dof'] = bench_scene(

@@ -15,6 +15,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
