@@ -31,12 +31,19 @@ def main():
     from path_tracer_tpu.integrator.scatter import scatter
     from path_tracer_tpu.integrator.state import merge_paths, new_paths
     from path_tracer_tpu.ops.intersect import trace
-    from path_tracer_tpu.scene.procedural import make_viking_hall_scene
+    from path_tracer_tpu.scene.procedural import (
+        make_360_scene, make_viking_hall_scene)
 
-    packed = compile_scene(make_viking_hall_scene(detail=1),
-                           aspect_ratio=WIDTH / HEIGHT)
+    which = sys.argv[1] if len(sys.argv) > 1 else 'viking'
+    if which == '360':
+        scene, cam = make_360_scene(), 2
+    else:
+        scene, cam = make_viking_hall_scene(detail=1), 0
+    packed = compile_scene(scene, aspect_ratio=WIDTH / HEIGHT)
     layout = SceneLayout.from_packed(packed)
-    config = RenderConfig(width=WIDTH, height=HEIGHT)
+    print(f'# scene {which}: material types {layout.material_types} '
+          f'textured={layout.materials_textured}', file=sys.stderr)
+    config = RenderConfig(width=WIDTH, height=HEIGHT, camera_model=cam)
     state = wf.render(packed, config, 4, seed=0, layout=layout)
     float(jnp.sum(state['accum']['count']))
 
