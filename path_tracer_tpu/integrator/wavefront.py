@@ -24,36 +24,10 @@ from ..core.constants import (
     RENDER_FLAG_SAMPLE_JITTER,
 )
 from ..core.sampling import Rng
-from ..ops.intersect import SceneLayout, trace
+from ..ops.intersect import SceneLayout, ray_sort_key as _ray_sort_key, trace
 from ..utils import log
 from .scatter import scatter
 from .state import merge_paths, new_paths
-
-
-def _ray_sort_key(packed, origin, direction):
-    """Directional-spatial coherence key: 3-bit direction octant (major)
-    then 15-bit Morton cell of the origin within the scene bounds.
-
-    Octant-MAJOR ordering measured 2x fewer node pops on bounce packets
-    and 6x faster traces than Morton-major (tools/diag_trace.py): a
-    packet whose direction components span zero defeats both the
-    near-first push order and any slab-sign coherence."""
-    lo = packed.scene_bounds[:, 0]
-    hi = packed.scene_bounds[:, 1]
-    span = jnp.maximum(hi - lo, 1e-6)
-    q = jnp.clip((origin - lo[:, None]) / span[:, None], 0.0, 1.0)
-    cells = (q * 31.0).astype(jnp.int32)  # (3, N), 5 bits each
-
-    morton = jnp.zeros_like(cells[0])
-    for b in range(5):
-        morton = (morton
-                  | (((cells[0] >> b) & 1) << (3 * b + 2))
-                  | (((cells[1] >> b) & 1) << (3 * b + 1))
-                  | (((cells[2] >> b) & 1) << (3 * b)))
-    octant = (((direction[0] < 0).astype(jnp.int32) << 2)
-              | ((direction[1] < 0).astype(jnp.int32) << 1)
-              | (direction[2] < 0).astype(jnp.int32))
-    return (octant << 15) | morton
 
 
 def _sort_state(rs, key):
@@ -66,6 +40,11 @@ def _sort_state(rs, key):
     faster than per-row gathers (measured 90 ms vs 1.2 s at 2M lanes).
     Direct multi-operand lax.sort is not an option: its TPU compilation
     explodes (>10 min).
+
+    No longer on the render path (kept for tools/ A-B measurement):
+    the production sort lives inside ops.intersect.trace
+    (sort_packets=True), which permutes only the 7 kernel-input and 5
+    kernel-output rows instead of the whole state.
     """
     perm = jnp.argsort(key)
     leaves, treedef = jax.tree_util.tree_flatten(rs)
@@ -109,11 +88,12 @@ class RenderConfig:
     camera_model: int = 0
     flags: int = RENDER_FLAG_ACCUMULATE | RENDER_FLAG_SAMPLE_JITTER
     rounds_per_call: int = 1
-    # Re-sort the whole path state by (direction octant, origin Morton
-    # cell) every round: argsort of the key plus ONE packed row-gather
-    # of the whole state (_sort_state, ~90 ms at 2M lanes). Coherent
-    # packets are what make the Pallas trace kernel fast on bounce
-    # rays; wants_sort() gates it to scenes where it pays.
+    # Feed the packet kernel rays sorted by (direction octant, origin
+    # Morton cell) every round: two argsorts plus two packed row
+    # gathers around the kernel (ops.intersect.trace sort_packets,
+    # ~45 ms at 2M lanes; the state itself stays in lane order).
+    # Coherent packets are what make the Pallas trace kernel fast on
+    # bounce rays; wants_sort() gates it to scenes where it pays.
     sort_rays: bool = True
 
 
@@ -192,20 +172,20 @@ def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
     paths deposit their sample and respawn at their pixel
     (basic_scatter.glsl:344-359).
 
-    sort_each_round runs the coherence sort inside the round loop, so
-    sort + trace + scatter fuse into ONE compiled program per call.
-    Both drivers use it: render() below picks _render_sorted_jit
-    whenever wants_sort() says the sort pays; the sharded driver sets
-    it so sorting composes with shard_map (the sort is shard-local).
+    sort_each_round feeds the packet kernel coherence-sorted rays each
+    round (trace's sort_packets path: the state stays in lane order;
+    only kernel inputs/outputs ride the permutation), fused with trace
+    + scatter into ONE compiled program per call. Both drivers use it:
+    render() below picks _render_sorted_jit whenever wants_sort() says
+    the sort pays; the sharded driver sets it so sorting composes with
+    shard_map (the sort is shard-local).
     """
     rounds = config.rounds_per_call if rounds is None else rounds
 
     def one_round(_, rs):
-        if sort_each_round:
-            rs = _sort_state(rs, _ray_sort_key(packed, rs['origin'],
-                                               rs['direction']))
         rng = Rng(rs['rng_state'])
-        hit = trace(packed, layout, rs['origin'], rs['direction'])
+        hit = trace(packed, layout, rs['origin'], rs['direction'],
+                    sort_packets=sort_each_round)
         path, origin, direction, alive = scatter(
             packed, rs['path'], rs['origin'], rs['direction'], hit, rng,
             termination_probability, layout)

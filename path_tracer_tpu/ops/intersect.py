@@ -58,6 +58,55 @@ from ..core.vec import (
 from ..core.sampling import compute_tangent_vector
 
 MAX_LEAF_FACES = 4
+
+
+def ray_sort_key(packed, origin, direction):
+    """Directional-spatial coherence key: 3-bit direction octant (major)
+    then 15-bit Morton cell of the origin within the scene bounds.
+
+    Octant-MAJOR ordering measured 2x fewer node pops on bounce packets
+    and 6x faster traces than Morton-major (tools/diag_trace.py): a
+    packet whose direction components span zero defeats both the
+    near-first push order and any slab-sign coherence."""
+    lo = packed.scene_bounds[:, 0]
+    hi = packed.scene_bounds[:, 1]
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((origin - lo[:, None]) / span[:, None], 0.0, 1.0)
+    cells = (q * 31.0).astype(jnp.int32)  # (3, N), 5 bits each
+
+    morton = jnp.zeros_like(cells[0])
+    for b in range(5):
+        morton = (morton
+                  | (((cells[0] >> b) & 1) << (3 * b + 2))
+                  | (((cells[1] >> b) & 1) << (3 * b + 1))
+                  | (((cells[2] >> b) & 1) << (3 * b)))
+    octant = (((direction[0] < 0).astype(jnp.int32) << 2)
+              | ((direction[1] < 0).astype(jnp.int32) << 1)
+              | (direction[2] < 0).astype(jnp.int32))
+    return (octant << 15) | morton
+
+
+def permute_rows(rows, perm):
+    """Permute a list of (N,) rows by ONE packed row gather.
+
+    TPU gathers cost per lane *index*, not per byte (a k-float row
+    gather costs about the same as a scalar gather up to k=8, then
+    grows sublinearly: 37/73/105 ms for (N,8)/(N,16)/(N,32) at 2M
+    lanes, tools/exp_permute.py), so the rows are stacked into one
+    (N, k<=8-padded) matrix, gathered once, and unpacked. Ints ride as
+    bitcast f32. Returns the permuted rows with original dtypes.
+    """
+    k = len(rows)
+    width = -(-k // 8) * 8
+    n = rows[0].shape[0]
+    cast = [r if r.dtype == jnp.float32
+            else jax.lax.bitcast_convert_type(r, jnp.float32) for r in rows]
+    matrix = jnp.stack(
+        cast + [jnp.zeros(n, jnp.float32)] * (width - k), axis=0)
+    out = jnp.take(matrix.T, perm, axis=0).T
+    return [out[i] if rows[i].dtype == jnp.float32
+            else jax.lax.bitcast_convert_type(out[i], rows[i].dtype)
+            for i in range(k)]
 STACK_DEPTH = 48
 
 
@@ -673,7 +722,8 @@ def resolve_hit_attributes(packed, layout: SceneLayout, origin, direction, hit):
 
 
 def trace(packed, layout: SceneLayout, origin, direction,
-          duration=HIT_TIME_LIMIT, use_packet=None, interpret=False):
+          duration=HIT_TIME_LIMIT, use_packet=None, interpret=False,
+          sort_packets=False):
     """Full trace: intersect every shape, resolve hit attributes.
 
     origin/direction: (3, N). Returns the resolved hit SoA dict. Lanes
@@ -684,6 +734,17 @@ def trace(packed, layout: SceneLayout, origin, direction,
     (ops/trace_packet.py) -- one kernel launch for all instances; the
     portable XLA per-lane traversal is the fallback (and the CPU/test
     path).
+
+    sort_packets=True feeds the packet kernel rays permuted into
+    (direction octant, origin Morton) coherence order and inverse-
+    permutes its compact outputs back to lane order, so only the 7
+    kernel-input rows ride the forward gather and the 5 kernel-output
+    rows the inverse gather. The previous design co-sorted the whole
+    ~32-row render state every round (one (N,32) gather, ~105 ms at
+    2M lanes); everything outside the kernel is elementwise or
+    gathers by face/material index, so it never needed the
+    permutation at all. Measured: 2x(N,8) gathers + 2 argsorts cost
+    ~45 ms less per round (tools/exp_permute.py).
     """
     from . import trace_inst, trace_packet
 
@@ -697,18 +758,33 @@ def trace(packed, layout: SceneLayout, origin, direction,
     hit = intersect_analytic(packed, layout, origin, direction, hit)
 
     if layout.mesh_instances and use_packet:
+        k_origin, k_direction, k_tin = origin, direction, hit['time']
+        if sort_packets:
+            perm = jnp.argsort(ray_sort_key(packed, origin, direction))
+            inv = jnp.argsort(perm)
+            rows = permute_rows(
+                [origin[0], origin[1], origin[2], direction[0],
+                 direction[1], direction[2], hit['time']], perm)
+            k_origin = jnp.stack(rows[0:3], axis=0)
+            k_direction = jnp.stack(rows[3:6], axis=0)
+            k_tin = rows[6]
         if instanced:
             t, face, fu, fv, inst = trace_inst.inst_trace(
                 packed.inst_nodes, packed.inst_tris, packed.inst_rows,
-                origin, direction, hit['time'],
+                k_origin, k_direction, k_tin,
                 tlas_rows=layout.tlas_rows, interpret=interpret)
+            if sort_packets:
+                t, face, fu, fv, inst = permute_rows(
+                    [t, face, fu, fv, inst], inv)
             normal, uv, shp = trace_inst.resolve_inst_attributes(
                 packed.inst_attrs, packed.inst_aux, face, fu, fv, inst,
                 n_instances=len(layout.mesh_instances))
         else:
             t, face, fu, fv = trace_packet.wide_trace5(
-                packed.wide_nodes_g, packed.wide_tris_g, origin, direction,
-                hit['time'], interpret=interpret)
+                packed.wide_nodes_g, packed.wide_tris_g, k_origin,
+                k_direction, k_tin, interpret=interpret)
+            if sort_packets:
+                t, face, fu, fv = permute_rows([t, face, fu, fv], inv)
             normal, uv, shp = trace_packet.resolve_wide_attributes(
                 packed.wide_attrs, face, fu, fv)
         improved = face >= 0

@@ -197,6 +197,38 @@ def test_packet_matches_portable_end_to_end():
     assert mat_same.all()
 
 
+def test_sorted_trace_matches_unsorted():
+    """trace(sort_packets=True) permutes kernel inputs into coherence
+    order and inverse-permutes the outputs; per-lane results must match
+    the unsorted kernel up to traversal tie-breaks (packet composition
+    changes node visit order, so equal-t faces may swap)."""
+    scene = _small_multi_instance_scene()
+    packed = compile_scene(scene, aspect_ratio=2.0)
+    layout = SceneLayout.from_packed(packed)
+
+    rng = np.random.default_rng(11)
+    n = 1024
+    o = rng.uniform(-4, 4, (3, n)).astype(np.float32)
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+
+    hs = trace(packed, layout, jnp.asarray(o), jnp.asarray(d),
+               use_packet=True, interpret=True, sort_packets=True)
+    hu = trace(packed, layout, jnp.asarray(o), jnp.asarray(d),
+               use_packet=True, interpret=True, sort_packets=False)
+
+    np.testing.assert_allclose(np.asarray(hs['time']),
+                               np.asarray(hu['time']), rtol=1e-5, atol=1e-5)
+    agree = (np.asarray(hs['shape']) == np.asarray(hu['shape'])).mean()
+    assert agree > 0.995, agree
+    same = np.asarray(hs['shape']) == np.asarray(hu['shape'])
+    for key in ('normal', 'uv', 'material'):
+        a = np.asarray(hs[key])[..., same]
+        b = np.asarray(hu[key])[..., same]
+        frac = (np.abs(a - b) <= 1e-5).mean()
+        assert frac >= 0.995, (key, frac)
+
+
 def test_wide_trace5_matches_brute_force():
     """The v5 (splat + geometry-only leaf) kernel must reproduce brute
     force, and its gathered-attribute resolve must match v3's in-kernel

@@ -110,6 +110,12 @@ def profile_scene(name, scene, camera_model=0):
     res['trace'] = timed(
         'trace', lambda: trace_jit(packed, origin=state['origin'],
                                    direction=state['direction']))
+    trace_sorted_jit = jax.jit(partial(trace, layout=layout,
+                                       sort_packets=True))
+    res['trace_sorted'] = timed(
+        'trace (in-trace sort)',
+        lambda: trace_sorted_jit(packed, origin=state['origin'],
+                                 direction=state['direction']))
 
     hit = trace_jit(packed, origin=state['origin'],
                     direction=state['direction'])
