@@ -28,9 +28,14 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
 
 NORTH_STAR_MRAYS = 200.0
 WIDTH, HEIGHT = 1920, 1080
-WARMUP_ROUNDS = 4
+WARMUP_ROUNDS = 6
 TIMED_ROUNDS = 12
-CHUNK = 2  # rounds per device call (long single calls trip watchdogs)
+# Rounds per device call. A null jitted call with its readback costs
+# ~27 ms on the tunneled runtime (tools/profile_round.py), pure relay
+# overhead that a chained render never pays per round -- so the timed
+# region amortizes it over CHUNK rounds. Kept well below the call
+# lengths that tripped the relay watchdog in round 2.
+CHUNK = 6
 
 
 def bench_scene(name, scene, camera_model=0, tone=0,
@@ -50,13 +55,14 @@ def bench_scene(name, scene, camera_model=0, tone=0,
           file=sys.stderr)
 
     t0 = time.time()
-    # Warm in CHUNK-sized calls so the exact program the timed loop runs
-    # (static rounds=CHUNK) is the one compiled here: on this deferred-
+    # Warm in chunk-sized calls so the exact program the timed loop runs
+    # (static rounds=chunk) is the one compiled here: on this deferred-
     # dispatch runtime a mismatched warmup pushes the recompile into the
     # timed region.
+    chunk = min(CHUNK, timed_rounds)
     state = None
-    for _ in range(WARMUP_ROUNDS // CHUNK):
-        state = render(packed, config, CHUNK, seed=0, layout=layout,
+    for _ in range(max(WARMUP_ROUNDS // chunk, 1)):
+        state = render(packed, config, chunk, seed=0, layout=layout,
                        state=state)
     # A device->host readback is REQUIRED here, not just block_until_ready:
     # this runtime defers Pallas-program execution until the first
@@ -67,19 +73,20 @@ def bench_scene(name, scene, camera_model=0, tone=0,
           f'{time.time()-t0:.1f}s', file=sys.stderr)
 
     t0 = time.time()
-    for _ in range(timed_rounds // CHUNK):
-        state = render(packed, config, CHUNK, layout=layout, state=state)
+    rounds_done = (timed_rounds // chunk) * chunk
+    for _ in range(timed_rounds // chunk):
+        state = render(packed, config, chunk, layout=layout, state=state)
         jax.block_until_ready(state['accum']['xyz'])
     # Force execution of any deferred tail before stopping the clock.
     count = float(jnp.sum(state['accum']['count']))
     elapsed = time.time() - t0
 
     lanes = width * height
-    mrays = lanes * timed_rounds / elapsed / 1e6
+    mrays = lanes * rounds_done / elapsed / 1e6
     samples_s = (count - warm_count) / elapsed
     spp_rate = (count - warm_count) / lanes / elapsed  # spp per second
     t64 = 64.0 / spp_rate if spp_rate > 0 else float('inf')
-    print(f'# [{name}] {timed_rounds} rounds in {elapsed:.2f}s: '
+    print(f'# [{name}] {rounds_done} rounds in {elapsed:.2f}s: '
           f'{mrays:.2f} Mrays/s, {samples_s/1e6:.2f} Msamples/s, '
           f'time-to-64spp ~{t64:.0f}s', file=sys.stderr)
     return dict(mrays=round(mrays, 2),

@@ -761,7 +761,11 @@ def trace(packed, layout: SceneLayout, origin, direction,
         k_origin, k_direction, k_tin = origin, direction, hit['time']
         if sort_packets:
             perm = jnp.argsort(ray_sort_key(packed, origin, direction))
-            inv = jnp.argsort(perm)
+            # Inverse permutation by scatter, not a second argsort
+            # (inv[perm[i]] = i): one (N,) scatter vs a full 2M-lane
+            # sort network.
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(perm.shape[0], dtype=perm.dtype))
             rows = permute_rows(
                 [origin[0], origin[1], origin[2], direction[0],
                  direction[1], direction[2], hit['time']], perm)

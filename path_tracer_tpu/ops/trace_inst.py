@@ -90,7 +90,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_in_ref,
             t_ref, face_ref, fu_ref, fv_ref, inst_ref, *rest,
             interleave, leaf_rows, tlas_rows, res_nodes, res_tris,
-            n_nodes, n_tris, prefetch, width=8):
+            n_nodes, n_tris, prefetch, width=8, leaf_fmt='mt'):
     meta_lane = NODE_LAYOUT[width]['meta']
     axis_lane = NODE_LAYOUT[width]['axis']
     stream_nodes = res_nodes < n_nodes
@@ -388,26 +388,48 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
 
             for k in range(8):
                 b = GEOM5_STRIDE * k
-                p0x, p0y, p0z = bc(b), bc(b + 1), bc(b + 2)
-                e1x, e1y, e1z = bc(b + 3), bc(b + 4), bc(b + 5)
-                e2x, e2y, e2z = bc(b + 6), bc(b + 7), bc(b + 8)
+                if leaf_fmt == 'woop':
+                    # Unit-triangle transform (scene/bvh8.py LEAF_FMT):
+                    # lanes b..b+8 = M row-major, b+9..b+11 = c = -M p0.
+                    # Padded/degenerate slots are all-zero: dpz == 0
+                    # makes ft a NaN/inf whose ordered comparisons all
+                    # fail, so no count test per triangle (rows past
+                    # the first stay predicated on count).
+                    opx = bc(b) * ox + bc(b + 1) * oy + bc(b + 2) * oz \
+                        + bc(b + 9)
+                    opy = bc(b + 3) * ox + bc(b + 4) * oy + bc(b + 5) * oz \
+                        + bc(b + 10)
+                    opz = bc(b + 6) * ox + bc(b + 7) * oy + bc(b + 8) * oz \
+                        + bc(b + 11)
+                    dpx = bc(b) * dx + bc(b + 1) * dy + bc(b + 2) * dz
+                    dpy = bc(b + 3) * dx + bc(b + 4) * dy + bc(b + 5) * dz
+                    dpz = bc(b + 6) * dx + bc(b + 7) * dy + bc(b + 8) * dz
+                    ft = -opz / dpz
+                    fu = opx + ft * dpx
+                    fv = opy + ft * dpy
+                    ok = (fu >= 0.0) & (fv >= 0.0) & (fu + fv <= 1.0) \
+                        & (ft >= 0.0) & (ft < t)
+                else:
+                    p0x, p0y, p0z = bc(b), bc(b + 1), bc(b + 2)
+                    e1x, e1y, e1z = bc(b + 3), bc(b + 4), bc(b + 5)
+                    e2x, e2y, e2z = bc(b + 6), bc(b + 7), bc(b + 8)
 
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok = jnp.abs(det) >= 1e-9
-                inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
-                fu = inv_det * (sx * pvx + sy * pvy + sz * pvz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                fv = inv_det * (dx * qx + dy * qy + dz * qz)
-                ft = inv_det * (e2x * qx + e2y * qy + e2z * qz)
-                ok &= (fu >= 0.0) & (fu <= 1.0) & (fv >= 0.0) \
-                    & (fu + fv <= 1.0)
-                ok &= (ft >= 0.0) & (ft < t) & (count > 8 * r + k)
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = jnp.abs(det) >= 1e-9
+                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+                    fu = inv_det * (sx * pvx + sy * pvy + sz * pvz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    fv = inv_det * (dx * qx + dy * qy + dz * qz)
+                    ft = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                    ok &= (fu >= 0.0) & (fu <= 1.0) & (fv >= 0.0) \
+                        & (fu + fv <= 1.0)
+                    ok &= (ft >= 0.0) & (ft < t) & (count > 8 * r + k)
 
                 t = jnp.where(ok, ft, t)
                 face = jnp.where(ok, (leaf_row + r) * 8 + k, face)
@@ -494,10 +516,10 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'interleave', 'leaf_rows',
-                                    'tlas_rows', 'width'))
+                                    'tlas_rows', 'width', 'leaf_fmt'))
 def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                tlas_rows, interpret=False, interleave=INTERLEAVE,
-               leaf_rows=LEAF_MAX // 8, width=8):
+               leaf_rows=LEAF_MAX // 8, width=8, leaf_fmt=None):
     """Trace world rays against the two-level instanced tables.
 
     nodes: (W, 128) [TLAS rows | rebased mesh rows] (row 0 = TLAS
@@ -515,6 +537,9 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
     Returns (t, face, fu, fv, inst): face indexes the concatenated
     attribute side table; inst is the winning instance row (-1 miss).
     """
+    if leaf_fmt is None:
+        from ..scene.bvh8 import LEAF_FMT
+        leaf_fmt = LEAF_FMT
     split = residency_split(nodes.shape, tris_g.shape, inst_rows.shape)
     if split is None:
         raise ValueError('tables exceed the streamable VMEM budget')
@@ -559,7 +584,8 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                           res_nodes=res_nodes, res_tris=res_tris,
                           n_nodes=int(nodes.shape[0]),
                           n_tris=int(tris_g.shape[0]),
-                          prefetch=PREFETCH_TOS, width=width),
+                          prefetch=PREFETCH_TOS, width=width,
+                          leaf_fmt=leaf_fmt),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(), table_block(), table_block()]

@@ -85,7 +85,7 @@ def tables_fit_vmem(nodes, tris_g):
 def _kernel(nodes_hbm, tris_hbm,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_in_ref,
             t_ref, face_ref, fu_ref, fv_ref, *rest,
-            interleave, stats, leaf_rows):
+            interleave, stats, leaf_rows, leaf_fmt='mt'):
     if stats:
         stats_ref = rest[0]
         rest = rest[1:]
@@ -226,26 +226,45 @@ def _kernel(nodes_hbm, tris_hbm,
 
             for k in range(8):
                 b = GEOM5_STRIDE * k
-                p0x, p0y, p0z = bc(b), bc(b + 1), bc(b + 2)
-                e1x, e1y, e1z = bc(b + 3), bc(b + 4), bc(b + 5)
-                e2x, e2y, e2z = bc(b + 6), bc(b + 7), bc(b + 8)
+                if leaf_fmt == 'woop':
+                    # Unit-triangle transform rows (scene/bvh8.py
+                    # LEAF_FMT); padded slots auto-miss via NaN ordered
+                    # comparisons -- see ops/trace_inst.py leaf().
+                    opx = bc(b) * ox + bc(b + 1) * oy + bc(b + 2) * oz \
+                        + bc(b + 9)
+                    opy = bc(b + 3) * ox + bc(b + 4) * oy + bc(b + 5) * oz \
+                        + bc(b + 10)
+                    opz = bc(b + 6) * ox + bc(b + 7) * oy + bc(b + 8) * oz \
+                        + bc(b + 11)
+                    dpx = bc(b) * dx + bc(b + 1) * dy + bc(b + 2) * dz
+                    dpy = bc(b + 3) * dx + bc(b + 4) * dy + bc(b + 5) * dz
+                    dpz = bc(b + 6) * dx + bc(b + 7) * dy + bc(b + 8) * dz
+                    ft = -opz / dpz
+                    fu = opx + ft * dpx
+                    fv = opy + ft * dpy
+                    ok = (fu >= 0.0) & (fv >= 0.0) & (fu + fv <= 1.0) \
+                        & (ft >= 0.0) & (ft < t)
+                else:
+                    p0x, p0y, p0z = bc(b), bc(b + 1), bc(b + 2)
+                    e1x, e1y, e1z = bc(b + 3), bc(b + 4), bc(b + 5)
+                    e2x, e2y, e2z = bc(b + 6), bc(b + 7), bc(b + 8)
 
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok = jnp.abs(det) >= 1e-9
-                inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
-                fu = inv_det * (sx * pvx + sy * pvy + sz * pvz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                fv = inv_det * (dx * qx + dy * qy + dz * qz)
-                ft = inv_det * (e2x * qx + e2y * qy + e2z * qz)
-                ok &= (fu >= 0.0) & (fu <= 1.0) & (fv >= 0.0) \
-                    & (fu + fv <= 1.0)
-                ok &= (ft >= 0.0) & (ft < t) & (count > 8 * r + k)
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = jnp.abs(det) >= 1e-9
+                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+                    fu = inv_det * (sx * pvx + sy * pvy + sz * pvz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    fv = inv_det * (dx * qx + dy * qy + dz * qz)
+                    ft = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                    ok &= (fu >= 0.0) & (fu <= 1.0) & (fv >= 0.0) \
+                        & (fu + fv <= 1.0)
+                    ok &= (ft >= 0.0) & (ft < t) & (count > 8 * r + k)
 
                 t = jnp.where(ok, ft, t)
                 face = jnp.where(ok, (leaf_row + r) * 8 + k, face)
@@ -305,10 +324,10 @@ def _kernel(nodes_hbm, tris_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'stats', 'interleave',
-                                    'leaf_rows'))
+                                    'leaf_rows', 'leaf_fmt'))
 def wide_trace5(nodes, tris_g, origin, direction, t_in,
                 interpret=False, stats=False, interleave=INTERLEAVE,
-                leaf_rows=LEAF_MAX // 8):
+                leaf_rows=LEAF_MAX // 8, leaf_fmt=None):
     """Trace rays against the flattened world-space wide BVH (v5).
 
     origin/direction: (3, N) world rays; t_in: (N,) reach. Returns
@@ -318,6 +337,9 @@ def wide_trace5(nodes, tris_g, origin, direction, t_in,
     leaf_rows must be >= the max rows any leaf in `tris_g` spans
     (LEAF_MAX/8 for tables from the default build).
     """
+    if leaf_fmt is None:
+        from ..scene.bvh8 import LEAF_FMT
+        leaf_fmt = LEAF_FMT
     n = origin.shape[1]
     group = interleave * PACKET_ROWS * 128
     n_pad = -n % group
@@ -351,6 +373,7 @@ def wide_trace5(nodes, tris_g, origin, direction, t_in,
                                       memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         functools.partial(_kernel, interleave=interleave, stats=stats,
+                          leaf_fmt=leaf_fmt,
                           leaf_rows=leaf_rows),
         out_shape=tuple(out_shapes),
         grid=(grid,),

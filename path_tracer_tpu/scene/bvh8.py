@@ -101,22 +101,59 @@ class WideBvh:
 #   [n0.xyz n1.xyz n2.xyz uv0.uv uv1.uv uv2.uv pad shape] per slot.
 GEOM5_STRIDE = 16
 ATTR5_WIDTH = 16
+# Leaf geometry row format consumed by the packet kernels:
+#   'mt'    p0 / e1 / e2 at lanes b..b+8 -- Moller-Trumbore in-kernel.
+#   'woop'  unit-triangle transform (Woop): lanes b..b+8 hold
+#           M = [e1 e2 n]^-1 row-major (n = e1 x e2), lanes b+9..b+11
+#           hold c = -M @ p0. The kernel computes o' = M o + c,
+#           d' = M d, t = -o'_z / d'_z, u = o'_x + t d'_x,
+#           v = o'_y + t d'_y; padded/degenerate slots auto-miss
+#           through the 0/0 = NaN ordered-comparison path, so the
+#           per-triangle count test disappears. u/v are the SAME
+#           barycentrics (e1/e2 coefficients) Moller-Trumbore yields.
+#
+# Measured on-chip (tools/exp_woop.py, viking hall, REAL sorted
+# mid-flight rays, v6 kernel): despite ~15% fewer vector issues on
+# paper, woop is 7% SLOWER on bounce packets (124.6 vs 116.2 ms;
+# winners agree 1.0000) -- the 12 simultaneously-live column broadcasts
+# per triangle raise register pressure in exactly the way the v5->v6
+# scratch-register finding showed this kernel cannot afford. Kept as a
+# gated format because the tables/kernels are equality-tested both
+# ways; 'mt' is the production default.
+LEAF_FMT = 'mt'
+
+
+def _woop_rows(p0, p1, p2):
+    """(12,) float32 [M row-major | c] for one triangle (f64 inverse)."""
+    e1 = (p1 - p0).astype(np.float64)
+    e2 = (p2 - p0).astype(np.float64)
+    n = np.cross(e1, e2)
+    a = np.stack([e1, e2, n], axis=1)       # columns e1 | e2 | n
+    det = np.linalg.det(a)
+    if abs(det) < 1e-30:
+        return np.zeros(12, np.float32)     # degenerate: auto-miss
+    m = np.linalg.inv(a)
+    c = -m @ p0.astype(np.float64)
+    return np.concatenate([m.reshape(9), c]).astype(np.float32)
 
 
 def pack_wide_geom(wide: 'WideBvh',
-                   tri_positions, tri_normals, tri_uvs, tri_shape):
+                   tri_positions, tri_normals, tri_uvs, tri_shape,
+                   leaf_fmt=None):
     """Derive the v5 tables from a packed WideBvh.
 
     tri_* are in the CALLER's face order (wide.face_map indexes it).
     Returns (nodes_g, tris_g, attrs, face_map_g):
       nodes_g  (W, 128)  wide.nodes with leaf metas re-encoded as
                          -(count * LEAF_ROW_LIMIT + first_row)
-      tris_g   (R, 128)  8-triangle geometry rows; a leaf of count
-                         faces spans ceil(count/8) consecutive rows
+      tris_g   (R, 128)  8-triangle geometry rows (LEAF_FMT layout); a
+                         leaf of count faces spans ceil(count/8) rows
       attrs    (R*8, 16) per-face-slot attribute rows (HBM side table;
                          slot 15 carries the face's shape index)
       face_map_g (R*8,)  face slot -> caller face index (-1 padding)
     """
+    if leaf_fmt is None:
+        leaf_fmt = LEAF_FMT
     tri_positions = np.asarray(tri_positions, np.float32)
     tri_normals = np.asarray(tri_normals, np.float32)
     tri_uvs = np.asarray(tri_uvs, np.float32)
@@ -144,9 +181,12 @@ def pack_wide_geom(wide: 'WideBvh',
             g = tris_g[row0 + k // 8]
             b = GEOM5_STRIDE * (k % 8)
             p0, p1, p2 = tri_positions[src]
-            g[b:b + 3] = p0
-            g[b + 3:b + 6] = p1 - p0
-            g[b + 6:b + 9] = p2 - p0
+            if leaf_fmt == 'woop':
+                g[b:b + 12] = _woop_rows(p0, p1, p2)
+            else:
+                g[b:b + 3] = p0
+                g[b + 3:b + 6] = p1 - p0
+                g[b + 6:b + 9] = p2 - p0
             slot = row0 * 8 + k
             attrs[slot, 0:9] = tri_normals[src].reshape(9)
             attrs[slot, 9:15] = tri_uvs[src].reshape(6)
