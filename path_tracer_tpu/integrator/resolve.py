@@ -21,10 +21,14 @@ def resolve(accum, width, height, brightness=1.0, mode=0, white_level=1.0,
             lane=None):
     """Resolve the (3, N)+(N,) accumulator into an (H, W, 3) image.
 
-    `lane` is each slot's pixel-lane id (slots migrate when ray sorting
-    is on); when omitted, slots are assumed in lane order. Lanes map to
-    pixels through the tile swizzle (integrator/state.py), inverted
-    here once per resolve.
+    `lane` is each slot's pixel-lane id; when omitted, slots are
+    assumed in lane order -- which the render state now always is: the
+    coherence sort lives inside ops.intersect.trace and permutes only
+    kernel inputs/outputs, never the state (the pre-a5b5f48 design
+    co-sorted the whole state each round, and resolving such a state
+    WITHOUT its lane map silently scrambled pixel placement -- the
+    round-3 bench-golden bug). Lanes map to pixels through the tile
+    swizzle (integrator/state.py), inverted here once per resolve.
     """
     from .state import lane_to_pixel
 

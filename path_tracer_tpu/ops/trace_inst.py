@@ -47,8 +47,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.bvh8 import (
     BIG, GEOM5_STRIDE, LEAF_MAX, LEAF_ROW_LIMIT, NODE_LAYOUT)
 
-PACKET_ROWS = 8
-INTERLEAVE = 2
+# Packet shape, swept on-chip on REAL sorted mid-flight rays
+# (tools/exp_packet16.py): rays/packet = PACKET_ROWS * 128. Taller
+# packets amortize the fixed per-pop cost (loop skeleton + mask
+# crossing + push) over more rays while the node/leaf union per packet
+# grows only sublinearly; the measured curve on the viking hall is
+# 8x128: 183 ms, 16: 176, 24: 156 (knee), 32: 182, 48: 203, 64: 247 --
+# past the knee the (rows,128) operand register pressure wins. With
+# 3072-ray packets one packet per kernel instance schedules best
+# (interleave 1: 155 ms vs 2: 158), so that is the default too.
+PACKET_ROWS = 24
+INTERLEAVE = 1
 STACK_DEPTH = 128
 PASS_LIMIT = 0.5 * BIG
 INST_BASE = 1 << 22      # stack entries >= INST_BASE are instance tags
@@ -90,7 +99,8 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_in_ref,
             t_ref, face_ref, fu_ref, fv_ref, inst_ref, *rest,
             interleave, leaf_rows, tlas_rows, res_nodes, res_tris,
-            n_nodes, n_tris, prefetch, width=8, leaf_fmt='mt'):
+            n_nodes, n_tris, prefetch, width=8, leaf_fmt='mt',
+            packet_rows=PACKET_ROWS):
     meta_lane = NODE_LAYOUT[width]['meta']
     axis_lane = NODE_LAYOUT[width]['axis']
     stream_nodes = res_nodes < n_nodes
@@ -142,6 +152,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
 
     bigf = jnp.float32(BIG)
     P = interleave
+    R = packet_rows   # ray sublane-rows per packet (rays = R * 128)
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-8,
@@ -154,7 +165,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
     # scalars stay in SSA.
     pk = []
     for p in range(P):
-        sl = slice(8 * p, 8 * p + 8)
+        sl = slice(R * p, R * p + R)
         ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
         dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
         ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
@@ -202,7 +213,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             # 500 from the compile relay -- the same lowering gap as
             # the fused (1,1)->(8,128) broadcast).
             r = jnp.broadcast_to(row[:, lane:lane + 1], (1, 128))
-            return pltpu.repeat(r, 8, 0)
+            return pltpu.repeat(r, R, 0)
 
         ox, oy, oz = wox[sl, :], woy[sl, :], woz[sl, :]
         dx, dy, dz = wdx[sl, :], wdy[sl, :], wdz[sl, :]
@@ -271,10 +282,10 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         # jnp.repeat-spelled column broadcasts are 4x SLOWER -- the
         # spelling matters). The fused (1,1)->(8,128) broadcast and
         # implicit sublane broadcast still do not lower at all.
-        tile8 = pltpu.repeat(row, 8, 0)
+        tile8 = pltpu.repeat(row, R, 0)
 
         def bc(lane):
-            return jnp.broadcast_to(tile8[:, lane:lane + 1], (8, 128))
+            return jnp.broadcast_to(tile8[:, lane:lane + 1], (R, 128))
 
         t_cur = t_ref[sl, :]
         rows = []
@@ -375,10 +386,10 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             else:
                 row = tris_ref[pl.ds(leaf_row + r, 1), :]
 
-            tile8 = pltpu.repeat(row, 8, 0)  # same 2-stage->colbc win
+            tile8 = pltpu.repeat(row, R, 0)  # same 2-stage->colbc win
 
             def bc(lane):
-                return jnp.broadcast_to(tile8[:, lane:lane + 1], (8, 128))
+                return jnp.broadcast_to(tile8[:, lane:lane + 1], (R, 128))
 
             t = t_ref[sl, :]
             face = face_ref[sl, :]
@@ -516,10 +527,12 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'interleave', 'leaf_rows',
-                                    'tlas_rows', 'width', 'leaf_fmt'))
+                                    'tlas_rows', 'width', 'leaf_fmt',
+                                    'packet_rows'))
 def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                tlas_rows, interpret=False, interleave=INTERLEAVE,
-               leaf_rows=LEAF_MAX // 8, width=8, leaf_fmt=None):
+               leaf_rows=LEAF_MAX // 8, width=8, leaf_fmt=None,
+               packet_rows=PACKET_ROWS):
     """Trace world rays against the two-level instanced tables.
 
     nodes: (W, 128) [TLAS rows | rebased mesh rows] (row 0 = TLAS
@@ -551,7 +564,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
         # A/B (tools/exp_stream.py).
         raise ValueError('streaming path supports leaf_rows <= 2')
     n = origin.shape[1]
-    group = interleave * PACKET_ROWS * 128
+    group = interleave * packet_rows * 128
     n_pad = -n % group
     if n_pad:
         origin = jnp.pad(origin, ((0, 0), (0, n_pad)), constant_values=1.0e7)
@@ -560,11 +573,11 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
         t_in = jnp.pad(t_in, (0, n_pad))
     total = n + n_pad
     rows = total // 128
-    grid = rows // (interleave * PACKET_ROWS)
+    grid = rows // (interleave * packet_rows)
 
     def ray_block():
-        return pl.BlockSpec((interleave * PACKET_ROWS, 128), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((interleave * packet_rows, 128),
+                            lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     def table_block():
         return pl.BlockSpec(memory_space=pl.ANY)
@@ -577,7 +590,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                   (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
                    jnp.int32)]
     out_specs = [ray_block() for _ in range(5)]
-    reg = lambda: pltpu.VMEM((interleave * PACKET_ROWS, 128), jnp.float32)
+    reg = lambda: pltpu.VMEM((interleave * packet_rows, 128), jnp.float32)
     out = pl.pallas_call(
         functools.partial(_kernel, interleave=interleave,
                           leaf_rows=leaf_rows, tlas_rows=tlas_rows,
@@ -585,7 +598,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                           n_nodes=int(nodes.shape[0]),
                           n_tris=int(tris_g.shape[0]),
                           prefetch=PREFETCH_TOS, width=width,
-                          leaf_fmt=leaf_fmt),
+                          leaf_fmt=leaf_fmt, packet_rows=packet_rows),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(), table_block(), table_block()]
