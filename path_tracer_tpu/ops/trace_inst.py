@@ -557,6 +557,15 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
     if split is None:
         raise ValueError('tables exceed the streamable VMEM budget')
     res_nodes, res_tris = split
+    streaming = res_nodes < nodes.shape[0] or res_tris < tris_g.shape[0]
+    if (streaming and packet_rows == PACKET_ROWS
+            and interleave == INTERLEAVE):
+        # Streaming scenes need a SECOND in-flight packet: the
+        # top-of-stack leaf-miss prefetch only pays when the other
+        # interleaved packet's pop covers the HBM latency. Measured on
+        # the 1.62M-tri terrain (real sorted rays): 16x128/il2 1882 ms
+        # vs 24x128/il1 2284 vs the old 8x128/il2 2134.
+        packet_rows, interleave = 16, 2
     if res_tris < tris_g.shape[0] and leaf_rows > 2:
         # Per-packet leaf-miss DMAs are proven on hardware only at the
         # row-0/1 offsets of their dedicated scratch (offsets >= 2 of a
