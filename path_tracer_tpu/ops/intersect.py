@@ -107,6 +107,15 @@ def permute_rows(rows, perm):
     return [out[i] if rows[i].dtype == jnp.float32
             else jax.lax.bitcast_convert_type(out[i], rows[i].dtype)
             for i in range(k)]
+
+
+# Measured negative (on-chip, 2M lanes): un-permuting the kernel
+# outputs with one packed (N, 8) row SCATTER (out[perm] = rows, no
+# inverse permutation materialized) costs ~+100 ms per round vs
+# gathering by the inverse -- TPU scatters do not share the gather's
+# flat per-index cost even with unique_indices. A single (N,) int
+# scatter to BUILD the inverse (inv[perm] = iota) is fine (~neutral vs
+# a second argsort); the packed-row un-permute stays a gather.
 STACK_DEPTH = 48
 
 

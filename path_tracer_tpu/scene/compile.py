@@ -490,7 +490,7 @@ def _pack_tlas_rows(bounds_min, bounds_max, width=None):
     return rows
 
 
-def _build_inst_tables(instances, inst_bounds, width=None):
+def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None):
     """Two-level (v6) tables: per-unique-mesh object-space wide BVHs,
     rebased + concatenated behind the TLAS, plus per-instance rows.
 
@@ -499,6 +499,7 @@ def _build_inst_tables(instances, inst_bounds, width=None):
     from . import bvh8
 
     width = width or bvh8.WIDE_WIDTH
+    leaf_max = leaf_max or bvh8.LEAF_MAX
     meta_lane = bvh8.NODE_LAYOUT[width]['meta']
     mesh_tables = {}
     order = []
@@ -512,7 +513,7 @@ def _build_inst_tables(instances, inst_bounds, width=None):
         uv = np.asarray(mesh.uvs, np.float32)[faces]
         shp = np.zeros(len(faces), np.float32)
         wide = bvh8.build_wide_bvh(tri, nrm, uv, shp, spatial=True,
-                                   width=width)
+                                   width=width, leaf_max=leaf_max)
         mesh_tables[id(mesh)] = bvh8.pack_wide_geom(wide, tri, nrm, uv, shp)
         order.append(id(mesh))
 
@@ -559,8 +560,8 @@ def _build_inst_tables(instances, inst_bounds, width=None):
         inst_aux[i, 9] = np.float32(shape_index)
 
     # Trailing pad rows let the streaming kernel's fixed-size leaf DMA
-    # (LEAF_MAX/8 rows) read past the final leaf without overrunning.
-    pad = bvh8.LEAF_MAX // 8 - 1
+    # (leaf_max/8 rows) read past the final leaf without overrunning.
+    pad = leaf_max // 8 - 1
     tris_cat = np.concatenate(
         tri_parts + [np.zeros((pad, 128), np.float32)]
         if pad else tri_parts).astype(np.float32)
