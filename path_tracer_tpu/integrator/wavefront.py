@@ -97,23 +97,24 @@ class RenderConfig:
     sort_rays: bool = True
 
 
-# Below this many world triangle SLOTS (wide-leaf rows x 8, counting
-# padding -- SceneLayout.wide_face_slots) the coherence sort costs more
-# than it saves: measured at 1080p on the v5e chip, the 16k-triangle
-# (21.8k-slot) 360 scene runs 13.6 Mrays/s unsorted vs 9.5 sorted,
-# while the 41k-triangle viking hall runs 4.9 sorted vs 3.7 unsorted.
-# The ~85 ms/round sort is amortized by traversal savings that grow
-# with tree depth.
-SORT_MIN_FACES = 24_000
+# Minimum world triangle SLOTS (wide-leaf rows x 8, counting padding --
+# SceneLayout.wide_face_slots) below which the coherence sort is
+# skipped. ZERO since the sort moved inside trace(): the old whole-
+# state sort (~90 ms/round) only paid above ~24k slots, but the
+# in-trace permutation (7 forward + 5 inverse rows, ~45 ms cheaper)
+# pays on EVERY packet scene measured -- +48% on a 5.8k-slot
+# heightfield, +119% at 17.7k slots, +6% on the analytic-heavy 360 mix
+# (tools/exp_sort360.py). Kept as a knob for future re-calibration.
+SORT_MIN_FACES = 0
 
 
 def wants_sort(config: RenderConfig, layout) -> bool:
-    """The per-round coherence sort only pays for itself when the packet
-    trace kernel actually runs (mesh scenes whose tables fit or stream
-    within the kernel's budget) AND the tree is deep enough that
-    unsorted traversal costs more than the sort (SORT_MIN_FACES);
-    analytic-only and small-mesh scenes trace faster in place.
-    Streamed over-VMEM scenes always sort: packet coherence is what
+    """The per-round coherence sort runs whenever the packet trace
+    kernel does (mesh scenes whose tables fit or stream within the
+    kernel's budget): measured 2026-08-18, sorted packets win on every
+    such scene (tools/exp_sort360.py), so the old small-mesh opt-out is
+    gone. Analytic-only scenes never sort (no packet kernel to feed).
+    Streamed over-VMEM scenes benefit doubly: packet coherence is what
     keeps the HBM leaf-miss rate down."""
     if not (config.sort_rays and layout is not None
             and layout.mesh_instances):
