@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.bvh8 import (
-    BIG, GEOM5_STRIDE, LEAF_MAX, LEAF_ROW_LIMIT, NODE_LAYOUT)
+    BIG, GEOM5_STRIDE, LEAF_MAX, LEAF_ROW_LIMIT, NODE_LAYOUT, PERM_LANE)
 
 # Packet shape, swept on-chip on REAL sorted mid-flight rays
 # (tools/exp_packet16.py): rays/packet = PACKET_ROWS * 128. Taller
@@ -70,6 +70,14 @@ STREAM_LIMIT_FACTOR = 4
 # interleaved packet's pop). Module switch so the on-chip A/B tools can
 # isolate it; jit treats it as static via the _kernel partial.
 PREFETCH_TOS = True
+# Octant-ordered traversal (width 8): push children in the precomputed
+# per-octant far-first order stamped into node lanes PERM_LANE+o
+# (scene/bvh8.py write_octant_perms) instead of the single split-axis
+# flip. Measured on-chip (tools/exp_octorder.py, viking hall): +7.2%
+# kernel-only on real octant-sorted bounce rays, neutral on coherent
+# primaries, hit t identical (face ties 0.02%). Module switch for the
+# A/B tools.
+OCT_ORDER = True
 
 
 def tables_fit_vmem(nodes, tris_g, inst_rows):
@@ -100,14 +108,14 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             t_ref, face_ref, fu_ref, fv_ref, inst_ref, *rest,
             interleave, leaf_rows, tlas_rows, res_nodes, res_tris,
             n_nodes, n_tris, prefetch, width=8, leaf_fmt='mt',
-            packet_rows=PACKET_ROWS):
+            packet_rows=PACKET_ROWS, oct_order=False):
     meta_lane = NODE_LAYOUT[width]['meta']
     axis_lane = NODE_LAYOUT[width]['axis']
     stream_nodes = res_nodes < n_nodes
     stream_tris = res_tris < n_tris
     streaming = stream_nodes or stream_tris
     if streaming:
-        (stack_ref, sp_ref, cur_ref, fwd_ref,
+        (stack_ref, sp_ref, cur_ref, fwd_ref, meta_scr,
          rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
          wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
          nodes_ref, tris_ref, inst_tab_ref, nrow_scr,
@@ -122,7 +130,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         trow_scrs = rest2[:interleave]
         lsems = rest2[interleave:]
     else:
-        (stack_ref, sp_ref, cur_ref, fwd_ref,
+        (stack_ref, sp_ref, cur_ref, fwd_ref, meta_scr,
          rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
          wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
          nodes_ref, tris_ref, inst_tab_ref, sems) = rest
@@ -316,6 +324,42 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         else:
             fwd = (fwd_ref[p, 0] != 0, fwd_ref[p, 1] != 0,
                    fwd_ref[p, 2] != 0)
+        if oct_order and width == 8:
+            # Full 3-axis front-to-back ordering: the node row carries
+            # 8 precomputed far-first push orders (one per direction
+            # octant, scene/bvh8.py write_octant_perms); pick the
+            # packet's by its dominant-direction octant and push along
+            # it. Replaces the single split-axis flip: ordered pops
+            # tighten the running t sooner, so more subtrees cull.
+            # Mosaic cannot load a VMEM scalar at a traced LANE offset
+            # (tools/probe_dynlane.py), so the 8 child metas are staged
+            # into an SMEM row (static loads + stores) and read back at
+            # the traced child index -- SMEM supports dynamic indices
+            # (the stack relies on it). The octant's perm lane is
+            # picked by a 7-select tree over the fwd sign scalars.
+            src = (lambda lane: nrow_scr[0, lane]) if stream_nodes \
+                else (lambda lane: nodes_ref[v, lane])
+            for c in range(width):
+                meta_scr[p, c] = src(meta_lane + c).astype(jnp.int32)
+            pfs = [src(PERM_LANE + o) for o in range(8)]
+            # Octant bit set <=> direction NEGATIVE <=> fwd False.
+            byz = [jnp.where(fwd[2], pfs[o], pfs[o | 1])
+                   for o in (0, 2, 4, 6)]
+            byy = [jnp.where(fwd[1], byz[i], byz[i + 1]) for i in (0, 2)]
+            perm = jnp.where(fwd[0], byy[0], byy[1]).astype(jnp.int32)
+            for i in range(width):
+                ch = jax.lax.shift_right_logical(perm, 3 * i) & 7
+                take = jax.lax.shift_right_logical(mask, ch) & 1
+                m = meta_scr[p, ch]
+                ok = (take != 0) & (m != 0) & (sp < STACK_DEPTH)
+
+                @pl.when(ok)
+                def _():
+                    stack_ref[p, sp] = m
+
+                sp = jnp.where(ok, sp + 1, sp)
+            sp_ref[p] = sp
+            return
         if stream_nodes:
             ax = nrow_scr[0, axis_lane]
         else:
@@ -528,11 +572,11 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'interleave', 'leaf_rows',
                                     'tlas_rows', 'width', 'leaf_fmt',
-                                    'packet_rows'))
+                                    'packet_rows', 'oct_order'))
 def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                tlas_rows, interpret=False, interleave=INTERLEAVE,
                leaf_rows=LEAF_MAX // 8, width=8, leaf_fmt=None,
-               packet_rows=PACKET_ROWS):
+               packet_rows=PACKET_ROWS, oct_order=None):
     """Trace world rays against the two-level instanced tables.
 
     nodes: (W, 128) [TLAS rows | rebased mesh rows] (row 0 = TLAS
@@ -553,6 +597,8 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
     if leaf_fmt is None:
         from ..scene.bvh8 import LEAF_FMT
         leaf_fmt = LEAF_FMT
+    if oct_order is None:
+        oct_order = OCT_ORDER
     split = residency_split(nodes.shape, tris_g.shape, inst_rows.shape)
     if split is None:
         raise ValueError('tables exceed the streamable VMEM budget')
@@ -607,7 +653,8 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                           n_nodes=int(nodes.shape[0]),
                           n_tris=int(tris_g.shape[0]),
                           prefetch=PREFETCH_TOS, width=width,
-                          leaf_fmt=leaf_fmt, packet_rows=packet_rows),
+                          leaf_fmt=leaf_fmt, packet_rows=packet_rows,
+                          oct_order=oct_order),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(), table_block(), table_block()]
@@ -618,6 +665,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
             pltpu.SMEM((interleave,), jnp.int32),      # sp
             pltpu.SMEM((interleave,), jnp.int32),      # current instance
             pltpu.SMEM((interleave, 3), jnp.int32),    # object fwd flags
+            pltpu.SMEM((interleave, 8), jnp.int32),    # oct-order metas
         ] + [reg() for _ in range(24)] + [
             # Resident tables: full table shape when fully resident;
             # when streaming, the prefix padded up to a whole (8, 128)

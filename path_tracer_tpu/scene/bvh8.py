@@ -58,6 +58,14 @@ WIDE_WIDTH = 8
 # skeleton, vector->scalar mask crossing, row fetch), so doubling the
 # arity amortizes them over 2x the children per pop.
 NODE_LAYOUT = {8: dict(meta=48, axis=64), 16: dict(meta=96, axis=112)}
+# Per-octant far-first child push order (width 8 only): lanes
+# PERM_LANE+o, o = (dx<0)<<2 | (dy<0)<<1 | (dz<0), each an
+# exact-integer float packing child slots 3 bits per push position
+# (child pushed first in bits 0..2; max value 2^24-1 so f32-exact).
+# Full 3-axis front-to-back ordering for the packet's dominant ray
+# octant, replacing the single split-axis flip (ops/trace_inst.py
+# oct_order).
+PERM_LANE = 65
 TRI_STRIDE = 32
 TRIS_PER_ROW = 4
 LEAF_MAX = 16          # triangles per leaf (LEAF_MAX/8 v5 rows)
@@ -436,6 +444,35 @@ def collapse_bvh2(node_min, node_max, a, b, leaf_max=LEAF_MAX,
     return children, axes
 
 
+def write_octant_perms(nodes, width=WIDE_WIDTH):
+    """Stamp per-octant far-first child push orders into PERM_LANE+o.
+
+    For each of the 8 ray-direction octants, children are ordered by
+    descending centroid distance along the octant's sign vector, so a
+    LIFO stack pops them front-to-back. Centroids come from the packed
+    bounds lanes; empty slots (lo=BIG, hi=-BIG, centroid 0) land
+    anywhere -- the kernel skips them on meta == 0. Width-16 rows have
+    no free lane block for 8 packed orders; they keep the axis flip.
+    """
+    if width != 8 or len(nodes) == 0:
+        return nodes
+    w = width
+    cx = 0.5 * (nodes[:, 0 * w:1 * w] + nodes[:, 3 * w:4 * w])
+    cy = 0.5 * (nodes[:, 1 * w:2 * w] + nodes[:, 4 * w:5 * w])
+    cz = 0.5 * (nodes[:, 2 * w:3 * w] + nodes[:, 5 * w:6 * w])
+    for o in range(8):
+        sx = -1.0 if (o & 4) else 1.0
+        sy = -1.0 if (o & 2) else 1.0
+        sz = -1.0 if (o & 1) else 1.0
+        d = sx * cx + sy * cy + sz * cz          # (W, 8) signed distance
+        order = np.argsort(-d, axis=1, kind='stable')  # far first
+        packed = np.zeros(len(nodes), np.int64)
+        for i in range(w):
+            packed |= order[:, i].astype(np.int64) << (3 * i)
+        nodes[:, PERM_LANE + o] = packed.astype(np.float32)
+    return nodes
+
+
 def pack_wide(children, axes, node_min, node_max,
               tri_positions, tri_normals, tri_uvs, tri_shape,
               width=WIDE_WIDTH):
@@ -504,6 +541,7 @@ def pack_wide(children, axes, node_min, node_max,
             tris[r, base + 18 + 2 * v + c] = tri_uvs[src, v, c]
     tris[r, base + 24] = tri_shape[src]
 
+    write_octant_perms(nodes, width=width)
     return WideBvh(nodes=nodes, tris=tris, face_map=face_map,
                    num_nodes=w, num_leaves=num_leaves, width=width)
 

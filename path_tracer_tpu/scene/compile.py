@@ -487,6 +487,7 @@ def _pack_tlas_rows(bounds_min, bounds_max, width=None):
                 # Interior children reference other TLAS rows; the TLAS
                 # sits at the head of the node table, so no rebase.
                 rows[w, meta_lane + c] = np.float32(p0)
+    bvh8.write_octant_perms(rows, width=width)
     return rows
 
 
