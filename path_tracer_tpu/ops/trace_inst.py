@@ -48,14 +48,16 @@ from ..scene.bvh8 import (
     BIG, GEOM5_STRIDE, LEAF_MAX, LEAF_ROW_LIMIT, NODE_LAYOUT, PERM_LANE)
 
 # Packet shape, swept on-chip on REAL sorted mid-flight rays
-# (tools/exp_packet16.py): rays/packet = PACKET_ROWS * 128. Taller
+# (tools/exp_packet16.py, re-swept after oct_order in
+# tools/exp_octorder2.py): rays/packet = PACKET_ROWS * 128. Taller
 # packets amortize the fixed per-pop cost (loop skeleton + mask
 # crossing + push) over more rays while the node/leaf union per packet
-# grows only sublinearly; the measured curve on the viking hall is
-# 8x128: 183 ms, 16: 176, 24: 156 (knee), 32: 182, 48: 203, 64: 247 --
-# past the knee the (rows,128) operand register pressure wins. With
-# 3072-ray packets one packet per kernel instance schedules best
-# (interleave 1: 155 ms vs 2: 158), so that is the default too.
+# grows only sublinearly. BOUNCE-only kernel time now knees at 16 rows
+# (oct_order tightens t faster, shrinking unions: 8: 130 ms, 16: 113,
+# 24: 122, 32: 148) -- but END-TO-END 24 still wins (11.66 vs 10.10
+# Mrays/s viking): each production round is ~40% freshly respawned
+# coherent camera rays, whose tiny unions favor the taller packet's
+# amortization. Shape choices must be validated end-to-end.
 PACKET_ROWS = 24
 INTERLEAVE = 1
 STACK_DEPTH = 128
@@ -108,14 +110,21 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             t_ref, face_ref, fu_ref, fv_ref, inst_ref, *rest,
             interleave, leaf_rows, tlas_rows, res_nodes, res_tris,
             n_nodes, n_tris, prefetch, width=8, leaf_fmt='mt',
-            packet_rows=PACKET_ROWS, oct_order=False):
+            packet_rows=PACKET_ROWS, oct_order=False, stats=False):
     meta_lane = NODE_LAYOUT[width]['meta']
+    if stats:
+        # Stats mode appends a (rows, 128) int32 output: lane 0/1/2/3 of
+        # sublane 0 of each packet-group block carry interior pops, leaf
+        # pops, loop iterations and instance entries (diag tooling sums
+        # them across the grid; tools/diag_inst.py).
+        stats_ref = rest[0]
+        rest = rest[1:]
     axis_lane = NODE_LAYOUT[width]['axis']
     stream_nodes = res_nodes < n_nodes
     stream_tris = res_tris < n_tris
     streaming = stream_nodes or stream_tris
     if streaming:
-        (stack_ref, sp_ref, cur_ref, fwd_ref, meta_scr,
+        (stack_ref, sp_ref, cur_ref, fwd_ref, meta_scr, ct_ref,
          rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
          wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
          nodes_ref, tris_ref, inst_tab_ref, nrow_scr,
@@ -130,7 +139,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         trow_scrs = rest2[:interleave]
         lsems = rest2[interleave:]
     else:
-        (stack_ref, sp_ref, cur_ref, fwd_ref, meta_scr,
+        (stack_ref, sp_ref, cur_ref, fwd_ref, meta_scr, ct_ref,
          rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
          wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
          nodes_ref, tris_ref, inst_tab_ref, sems) = rest
@@ -207,10 +216,15 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         cur_ref[p] = jnp.int32(0)
         if stream_tris:
             pref_ref[p] = jnp.int32(-1)
+    if stats:
+        for c in range(4):
+            ct_ref[c] = jnp.int32(0)
 
     def enter_instance(p, i, sp):
         """Splat the instance's object_from_world, refresh the object
         registers, push its mesh root."""
+        if stats:
+            ct_ref[3] = ct_ref[3] + 1
         sl = pk[p]['sl']
         row = inst_tab_ref[pl.ds(i, 1), :]
 
@@ -257,6 +271,8 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         sp_ref[p] = jnp.where(sp < STACK_DEPTH, sp + 1, sp)
 
     def interior(p, v, sp, world):
+        if stats:
+            ct_ref[0] = ct_ref[0] + 1
         sl = pk[p]['sl']
         if world:
             inv_x, inv_y, inv_z = wix[sl, :], wiy[sl, :], wiz[sl, :]
@@ -385,6 +401,8 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         sp_ref[p] = sp
 
     def leaf(p, v):
+        if stats:
+            ct_ref[1] = ct_ref[1] + 1
         sl = pk[p]['sl']
         ox, oy, oz = rox[sl, :], roy[sl, :], roz[sl, :]
         dx, dy, dz = rdx[sl, :], rdy[sl, :], rdz[sl, :]
@@ -559,6 +577,8 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
                         lsems[p].at[r]).start()
 
     def body(_):
+        if stats:
+            ct_ref[2] = ct_ref[2] + 1
         for p in range(P):
             pop_one(p)
         total = sp_ref[0]
@@ -567,16 +587,25 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         return total
 
     jax.lax.while_loop(lambda t: t > 0, body, jnp.int32(P))
+    if stats:
+        li = jax.lax.broadcasted_iota(jnp.int32, (P * R, 128), 1)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (P * R, 128), 0)
+        vals = jnp.where(li == 0, ct_ref[0],
+                         jnp.where(li == 1, ct_ref[1],
+                                   jnp.where(li == 2, ct_ref[2],
+                                             jnp.where(li == 3, ct_ref[3],
+                                                       0))))
+        stats_ref[:, :] = jnp.where(ri == 0, vals, 0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'interleave', 'leaf_rows',
                                     'tlas_rows', 'width', 'leaf_fmt',
-                                    'packet_rows', 'oct_order'))
+                                    'packet_rows', 'oct_order', 'stats'))
 def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                tlas_rows, interpret=False, interleave=INTERLEAVE,
                leaf_rows=LEAF_MAX // 8, width=8, leaf_fmt=None,
-               packet_rows=PACKET_ROWS, oct_order=None):
+               packet_rows=PACKET_ROWS, oct_order=None, stats=False):
     """Trace world rays against the two-level instanced tables.
 
     nodes: (W, 128) [TLAS rows | rebased mesh rows] (row 0 = TLAS
@@ -645,6 +674,9 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                   (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
                    jnp.int32)]
     out_specs = [ray_block() for _ in range(5)]
+    if stats:
+        out_shapes.append(jax.ShapeDtypeStruct(shape2, jnp.int32))
+        out_specs.append(ray_block())
     reg = lambda: pltpu.VMEM((interleave * packet_rows, 128), jnp.float32)
     out = pl.pallas_call(
         functools.partial(_kernel, interleave=interleave,
@@ -654,7 +686,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                           n_tris=int(tris_g.shape[0]),
                           prefetch=PREFETCH_TOS, width=width,
                           leaf_fmt=leaf_fmt, packet_rows=packet_rows,
-                          oct_order=oct_order),
+                          oct_order=oct_order, stats=stats),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(), table_block(), table_block()]
@@ -666,6 +698,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
             pltpu.SMEM((interleave,), jnp.int32),      # current instance
             pltpu.SMEM((interleave, 3), jnp.int32),    # object fwd flags
             pltpu.SMEM((interleave, 8), jnp.int32),    # oct-order metas
+            pltpu.SMEM((4,), jnp.int32),               # stats counters
         ] + [reg() for _ in range(24)] + [
             # Resident tables: full table shape when fully resident;
             # when streaming, the prefix padded up to a whole (8, 128)
@@ -700,6 +733,11 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
       o[0], o[1], o[2], d[0], d[1], d[2], t_in.reshape(shape2))
 
     t, face, fu, fv, inst = (x.reshape(total)[:n] for x in out[:5])
+    if stats:
+        # Per packet-group counters live at sublane 0, lanes 0..3 of
+        # each block: sum them across the grid.
+        st = out[5].reshape(grid, interleave * packet_rows, 128)
+        return t, face, fu, fv, inst, jnp.sum(st[:, 0, :4], axis=0)
     return t, face, fu, fv, inst
 
 
