@@ -33,9 +33,11 @@ TIMED_ROUNDS = 12
 # Rounds per device call. A null jitted call with its readback costs
 # ~27 ms on the tunneled runtime (tools/profile_round.py), pure relay
 # overhead that a chained render never pays per round -- so the timed
-# region amortizes it over CHUNK rounds. Kept well below the call
-# lengths that tripped the relay watchdog in round 2.
-CHUNK = 6
+# region amortizes it over CHUNK rounds. Measured on viking: chunk 6 =
+# 12.27 Mrays/s, 12 = 12.59, 24 = 12.76; 12 keeps the longest call
+# (config 5 at 4K, ~12 s) well below the relay-watchdog lengths that
+# bit in round 2.
+CHUNK = 12
 
 
 def bench_scene(name, scene, camera_model=0, tone=0,

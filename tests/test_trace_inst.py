@@ -168,3 +168,36 @@ def test_streaming_matches_resident():
         jax.clear_caches()
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(a, b)
+
+
+def test_octant_perm_lanes():
+    """write_octant_perms stamps valid far-first push permutations:
+    each perm lane is a packed permutation of 0..7, and walking it in
+    push order visits children in DESCENDING centroid distance along
+    the octant's sign vector (LIFO pops then run front-to-back)."""
+    from path_tracer_tpu.scene import bvh8
+
+    scene, rng = _instanced_scene(3)
+    packed = compile_mod.compile_scene(scene)
+    nodes = np.asarray(packed.inst_nodes)
+    metas = nodes[:, bvh8.META_LANE:bvh8.META_LANE + 8]
+    w = 8
+    cx = 0.5 * (nodes[:, 0:8] + nodes[:, 24:32])
+    cy = 0.5 * (nodes[:, 8:16] + nodes[:, 32:40])
+    cz = 0.5 * (nodes[:, 16:24] + nodes[:, 40:48])
+    interior = (metas != 0).any(axis=1)
+    assert interior.any()
+    for o in range(8):
+        packed_perm = nodes[:, bvh8.PERM_LANE + o].astype(np.int64)
+        order = np.stack([(packed_perm >> (3 * i)) & 7 for i in range(w)],
+                         axis=1)
+        # Valid permutation of 0..7 on every row.
+        assert (np.sort(order, axis=1) == np.arange(w)).all()
+        s = np.array([-1.0 if (o & 4) else 1.0,
+                      -1.0 if (o & 2) else 1.0,
+                      -1.0 if (o & 1) else 1.0])
+        d = s[0] * cx + s[1] * cy + s[2] * cz
+        for widx in np.nonzero(interior)[0][:16]:
+            seq = d[widx, order[widx]]
+            # Far-first: non-increasing distance along the push walk.
+            assert (np.diff(seq) <= 1e-5).all(), (widx, o, seq)
