@@ -29,9 +29,14 @@ Node row layout (one float32 row of 128 lanes per wide node):
                 <  0: -(face_count * LEAF_ROW_LIMIT + tri_row), leaf
                 child of up to LEAF_MAX faces starting at row tri_row
   lane  64      traversal-order axis (0/1/2): children are pre-sorted
-                by centroid along this axis at build time; the kernel
-                picks push direction from the packet's mean direction
-                sign (near-first traversal without per-ray sorting).
+                by centroid along this axis at build time; the flip
+                fallback picks push direction from the packet's mean
+                direction sign (near-first without per-ray sorting).
+  lanes 65..72  per-octant far-first push orders (write_octant_perms):
+                lane 65+o packs a full child permutation 3 bits per
+                push position for direction octant o, giving the
+                production kernel true 3-axis front-to-back pops
+                (ops/trace_inst.py oct_order; bounce pops -8.3%).
 
 Triangle row layout (one float32 row per 4-triangle block; triangle k
 at lane base 32*k):
