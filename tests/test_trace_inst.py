@@ -201,3 +201,31 @@ def test_octant_perm_lanes():
             seq = d[widx, order[widx]]
             # Far-first: non-increasing distance along the push walk.
             assert (np.diff(seq) <= 1e-5).all(), (widx, o, seq)
+
+
+def test_inst_trace_stats_mode():
+    """stats=True returns [interior, leaf, iters, inst_enters] counters
+    and does not perturb the hit results."""
+    scene, rng = _instanced_scene(4)
+    packed = compile_mod.compile_scene(scene)
+    layout = SceneLayout.from_packed(packed)
+    n = 1024
+    o = jnp.asarray(rng.uniform(-5, 5, (3, n)).astype(np.float32))
+    d = rng.normal(0, 1, (3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    d = jnp.asarray(d)
+    t_in = jnp.full((n,), 1e7, jnp.float32)
+
+    base = trace_inst.inst_trace(
+        packed.inst_nodes, packed.inst_tris, packed.inst_rows, o, d, t_in,
+        tlas_rows=layout.tlas_rows, interpret=True)
+    *withs, st = trace_inst.inst_trace(
+        packed.inst_nodes, packed.inst_tris, packed.inst_rows, o, d, t_in,
+        tlas_rows=layout.tlas_rows, interpret=True, stats=True)
+    st = np.asarray(st)
+    assert st.shape == (4,)
+    interior, leafp, iters, inst_enters = (int(x) for x in st)
+    assert leafp > 0 and iters >= interior + leafp
+    assert inst_enters >= 1
+    for a, b in zip(base, withs):
+        assert (np.asarray(a) == np.asarray(b)).all()
