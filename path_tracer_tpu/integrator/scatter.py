@@ -156,19 +156,37 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     active_shapes = state['active_shapes']           # (LIMIT, N)
     active_shape = jnp.min(active_shapes, axis=0)
 
-    medium = fetch_medium(packed, active_shape, lam, types)
-
-    throughput = state['throughput'] * jnp.exp(-medium['absorption'] * hit['time'])
+    # Statically medium-free scenes (no translucent/OpenPBR material AND
+    # zero ambient scatter rate -- SceneLayout.scene_has_medium) skip the
+    # two fetch_medium gathers, the absorption exp and the volumetric
+    # branch entirely: priority reduces to the raw shape index and every
+    # medium column to its ambient constant. The three RNG draws are
+    # still consumed, so the sample stream (and every golden image) is
+    # bitwise identical to the general path.
+    scene_has_medium = (layout.scene_has_medium if layout is not None
+                        else True)
+    n_lanes = active_shape.shape[0]
+    if scene_has_medium:
+        medium = fetch_medium(packed, active_shape, lam, types)
+        throughput = state['throughput'] * jnp.exp(
+            -medium['absorption'] * hit['time'])
+    else:
+        medium = dict(priority=active_shape,
+                      ior=jnp.ones((4, n_lanes)))
+        throughput = state['throughput']
     probability = state['probability']
     sample = state['sample']                         # (3, N)
 
     # Scattering event time at the primary wavelength.
     u_scatter = rng.uniform()
-    rate0 = medium['scattering'][0]
-    scattering_time = jnp.where(
-        rate0 > 0.0,
-        -jnp.log(jnp.maximum(u_scatter, 1e-12)) / jnp.maximum(rate0, 1e-12),
-        HIT_TIME_LIMIT)
+    if scene_has_medium:
+        rate0 = medium['scattering'][0]
+        scattering_time = jnp.where(
+            rate0 > 0.0,
+            -jnp.log(jnp.maximum(u_scatter, 1e-12)) / jnp.maximum(rate0, 1e-12),
+            HIT_TIME_LIMIT)
+    else:
+        scattering_time = jnp.full_like(hit['time'], HIT_TIME_LIMIT)
 
     medium_event = hit['time'] >= scattering_time
     vol_scatter = medium_event & (scattering_time < HIT_TIME_LIMIT)
@@ -178,15 +196,23 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     # --- volumetric scattering (basic_scatter.glsl:142-164) ---------------
     u1 = rng.uniform()
     u2 = rng.uniform()
-    hg_local = sample_direction_hg(medium['anisotropy'], u1, u2)
-    vx, vy = coordinate_frame(ray_direction)
-    vol_dir = normalize(hg_local[0] * vx + hg_local[1] * vy
-                        + hg_local[2] * ray_direction)
-    vol_origin = ray_origin + ray_direction * scattering_time
-    density = medium['scattering'] * jnp.exp(-medium['scattering'] * scattering_time)
-    density = density / jnp.maximum(EPSILON, max4(density))
-    vol_throughput = throughput * density
-    vol_probability = probability * density
+    if scene_has_medium:
+        hg_local = sample_direction_hg(medium['anisotropy'], u1, u2)
+        vx, vy = coordinate_frame(ray_direction)
+        vol_dir = normalize(hg_local[0] * vx + hg_local[1] * vy
+                            + hg_local[2] * ray_direction)
+        vol_origin = ray_origin + ray_direction * scattering_time
+        density = medium['scattering'] * jnp.exp(
+            -medium['scattering'] * scattering_time)
+        density = density / jnp.maximum(EPSILON, max4(density))
+        vol_throughput = throughput * density
+        vol_probability = probability * density
+    else:
+        # vol_scatter is constant-False here; these are never selected.
+        vol_dir = ray_direction
+        vol_origin = ray_origin
+        vol_throughput = throughput
+        vol_probability = probability
 
     # --- skybox emission (basic_scatter.glsl:165-172) ----------------------
     emission = sample_skybox_radiance(packed, ray_direction, lam,
@@ -215,10 +241,14 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     exclude = jnp.where(active_shapes == active_shape, SHAPE_INDEX_NONE,
                         active_shapes)
     exterior_shape = jnp.min(exclude, axis=0)
-    exterior_medium = fetch_medium(packed, exterior_shape, lam, types)
-    exterior_ior = jnp.where(hit_exterior, medium['ior'],
-                             jnp.where(is_real, exterior_medium['ior'], 1.0))
-    exterior_ior = jnp.where(is_real, exterior_ior, 1.0)
+    if scene_has_medium:
+        exterior_medium = fetch_medium(packed, exterior_shape, lam, types)
+        exterior_ior = jnp.where(hit_exterior, medium['ior'],
+                                 jnp.where(is_real, exterior_medium['ior'],
+                                           1.0))
+        exterior_ior = jnp.where(is_real, exterior_ior, 1.0)
+    else:
+        exterior_ior = jnp.ones((4, n_lanes))
 
     tex_attrs = (layout.textured_attrs if layout is not None
                  else ('base', 'emission', 'specular', 'roughness',

@@ -174,6 +174,12 @@ class SceneLayout:
     # models statically (e.g. the OpenPBR layer walk never compiles
     # into scenes without an OpenPBR material).
     material_types: Tuple[int, ...] = ()
+    # Can ANY lane ever be inside a participating medium? False only
+    # when no material type defines an interior medium AND the scene's
+    # ambient scatter rate is zero; the scatter stage then drops both
+    # fetch_medium gathers and the volumetric branch (bitwise-identical
+    # output -- the RNG draws are preserved).
+    scene_has_medium: bool = True
 
     @staticmethod
     def from_packed(packed):
@@ -220,7 +226,16 @@ class SceneLayout:
             # fall back to the portable traversal. compile_scene always
             # attaches the host layout, which carries the real mode.
             material_types=tuple(sorted(int(t) for t in set(referenced))),
+            scene_has_medium=_types_have_medium(set(referenced))
+            or float(np.asarray(packed.scene_scatter_rate)) > 0.0,
         )
+
+
+def _types_have_medium(mat_types):
+    from ..core.constants import (MATERIAL_TYPE_BASIC_TRANSLUCENT,
+                                  MATERIAL_TYPE_OPENPBR)
+    return (MATERIAL_TYPE_BASIC_TRANSLUCENT in mat_types
+            or MATERIAL_TYPE_OPENPBR in mat_types)
 
 
 def build_layout_host(scene, packed):
@@ -290,6 +305,8 @@ def build_layout_host(scene, packed):
         wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
                                               packed.wide_tris_g),
         material_types=tuple(sorted(mat_types)),
+        scene_has_medium=_types_have_medium(mat_types)
+        or float(scene.root.scatter_rate) > 0.0,
     )
 
 
