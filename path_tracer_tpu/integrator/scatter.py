@@ -94,17 +94,26 @@ def sample_skybox_radiance(packed, direction, lam, has_texture=True,
             * packed.skybox_brightness)
 
 
-def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng, types=()):
+def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng, types=(),
+                              sky_sampling=True):
     """SampleSurfaceIntegrand (basic_scatter.glsl:66-109): one-sample MIS
     between BSDF importance sampling and vMF skybox light sampling.
 
     view: (3, N) direction toward viewer in tangent space.
     Returns (scattered (3, N), throughput (4, N), probability (4, N),
     valid (N,)).
+
+    sky_sampling (static, SceneLayout.has_skybox_sampling): scenes
+    whose skybox_sampling_probability is 0 at compile time never take
+    the light branch, so the second full BSDF evaluation, the vMF pdf
+    and the MIS selects drop out of the program. The RNG draw ORDER is
+    preserved (u_choice and the vMF draws still advance the counter),
+    so output is bitwise identical to the general path.
     """
-    has_dirac = dispatch.has_dirac_bsdf(ctx, types)
-    light_probability = jnp.where(
-        has_dirac, 0.0, packed.skybox_sampling_probability)
+    if sky_sampling:
+        has_dirac = dispatch.has_dirac_bsdf(ctx, types)
+        light_probability = jnp.where(
+            has_dirac, 0.0, packed.skybox_sampling_probability)
 
     # Skybox mean direction in the hit tangent frame.
     mean = packed.skybox_mean_direction  # (3,)
@@ -119,6 +128,9 @@ def _sample_surface_integrand(packed, ctx, hit, view, rng: Rng, types=()):
         rng, packed.skybox_concentration, mean_local)
     bsdf_dir, bsdf_thr, bsdf_pdf, bsdf_ok = dispatch.sample_bsdf(
         ctx, view, rng, types)
+    if not sky_sampling:
+        del u_choice, light_dir  # draws consumed; values dead-coded
+        return bsdf_dir, bsdf_thr, bsdf_pdf, bsdf_ok
     eval_thr, eval_pdf, eval_ok = dispatch.evaluate_bsdf(
         ctx, view, light_dir, types)
 
@@ -280,8 +292,10 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
                               emission_spec * throughput) / cluster_pdf
     sample = jnp.where(emissive_hit, sample + emit_contrib, sample)
 
+    sky_sampling = (layout.has_skybox_sampling if layout is not None
+                    else True)
     scattered, s_throughput, s_probability, s_valid = _sample_surface_integrand(
-        packed, ctx, hit, view, rng, types)
+        packed, ctx, hit, view, rng, types, sky_sampling=sky_sampling)
 
     scale = 1.0 / jnp.maximum(EPSILON, max4(s_probability))
     surf_throughput = jnp.where(is_real, throughput * s_throughput * scale,

@@ -180,6 +180,10 @@ class SceneLayout:
     # fetch_medium gathers and the volumetric branch (bitwise-identical
     # output -- the RNG draws are preserved).
     scene_has_medium: bool = True
+    # skybox_sampling_probability > 0 at compile time: when False, the
+    # MIS light branch (second BSDF eval, vMF pdf, selects) drops out
+    # of scatter, RNG stream preserved (bitwise-identical output).
+    has_skybox_sampling: bool = True
 
     @staticmethod
     def from_packed(packed):
@@ -228,6 +232,8 @@ class SceneLayout:
             material_types=tuple(sorted(int(t) for t in set(referenced))),
             scene_has_medium=_types_have_medium(set(referenced))
             or float(np.asarray(packed.scene_scatter_rate)) > 0.0,
+            has_skybox_sampling=float(np.asarray(
+                packed.skybox_sampling_probability)) > 0.0,
         )
 
 
@@ -307,6 +313,8 @@ def build_layout_host(scene, packed):
         material_types=tuple(sorted(mat_types)),
         scene_has_medium=_types_have_medium(mat_types)
         or float(scene.root.scatter_rate) > 0.0,
+        has_skybox_sampling=float(
+            scene.root.skybox_sampling_probability) > 0.0,
     )
 
 
