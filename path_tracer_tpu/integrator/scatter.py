@@ -306,23 +306,30 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
     surf_valid = jnp.where(is_real, s_valid, True)
 
     # Active-shape-list bookkeeping on boundary crossings
-    # (basic_scatter.glsl:266-292).
-    crossing = in_dir[2] * view[2] < 0.0
-    entering = crossing & hit_exterior & surface_event
-    leaving = crossing & ~hit_exterior & surface_event
+    # (basic_scatter.glsl:266-292). No material type in the scene can
+    # refract (SceneLayout.has_transmissive=False) => nothing is ever
+    # inserted or removed (backface reflection lanes raise `leaving`
+    # but never match an empty list), so the whole block is a
+    # value-level no-op and is dropped statically.
+    if layout is not None and not layout.has_transmissive:
+        new_active = active_shapes
+    else:
+        crossing = in_dir[2] * view[2] < 0.0
+        entering = crossing & hit_exterior & surface_event
+        leaving = crossing & ~hit_exterior & surface_event
 
-    is_none = active_shapes == SHAPE_INDEX_NONE
-    first_none = jnp.argmax(is_none, axis=0)
-    has_none = jnp.any(is_none, axis=0)
-    slots = jnp.arange(ACTIVE_SHAPE_LIMIT)[:, None]
-    insert_mask = (entering & has_none) & (slots == first_none)
-    new_active = jnp.where(insert_mask, hit['shape'], active_shapes)
+        is_none = active_shapes == SHAPE_INDEX_NONE
+        first_none = jnp.argmax(is_none, axis=0)
+        has_none = jnp.any(is_none, axis=0)
+        slots = jnp.arange(ACTIVE_SHAPE_LIMIT)[:, None]
+        insert_mask = (entering & has_none) & (slots == first_none)
+        new_active = jnp.where(insert_mask, hit['shape'], active_shapes)
 
-    matches = new_active == hit['shape']
-    first_match = jnp.argmax(matches, axis=0)
-    has_match = jnp.any(matches, axis=0)
-    remove_mask = (leaving & has_match) & (slots == first_match)
-    new_active = jnp.where(remove_mask, SHAPE_INDEX_NONE, new_active)
+        matches = new_active == hit['shape']
+        first_match = jnp.argmax(matches, axis=0)
+        has_match = jnp.any(matches, axis=0)
+        remove_mask = (leaving & has_match) & (slots == first_match)
+        new_active = jnp.where(remove_mask, SHAPE_INDEX_NONE, new_active)
 
     # Russian roulette (basic_scatter.glsl:294-298).
     u_rr = rng.uniform()

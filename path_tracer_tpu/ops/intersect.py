@@ -184,6 +184,10 @@ class SceneLayout:
     # MIS light branch (second BSDF eval, vMF pdf, selects) drops out
     # of scatter, RNG stream preserved (bitwise-identical output).
     has_skybox_sampling: bool = True
+    # Any material type that can refract through a boundary
+    # (translucent/OpenPBR)? When False the active-shape-list
+    # bookkeeping is a value-level no-op and drops out of scatter.
+    has_transmissive: bool = True
 
     @staticmethod
     def from_packed(packed):
@@ -234,6 +238,7 @@ class SceneLayout:
             or float(np.asarray(packed.scene_scatter_rate)) > 0.0,
             has_skybox_sampling=float(np.asarray(
                 packed.skybox_sampling_probability)) > 0.0,
+            has_transmissive=_types_have_medium(set(referenced)),
         )
 
 
@@ -315,6 +320,7 @@ def build_layout_host(scene, packed):
         or float(scene.root.scatter_rate) > 0.0,
         has_skybox_sampling=float(
             scene.root.skybox_sampling_probability) > 0.0,
+        has_transmissive=_types_have_medium(mat_types),
     )
 
 
