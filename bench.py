@@ -29,19 +29,21 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
 NORTH_STAR_MRAYS = 200.0
 WIDTH, HEIGHT = 1920, 1080
 WARMUP_ROUNDS = 6
-TIMED_ROUNDS = 12
+TIMED_ROUNDS = 24
 # Rounds per device call. A null jitted call with its readback costs
 # ~27 ms on the tunneled runtime (tools/profile_round.py), pure relay
 # overhead that a chained render never pays per round -- so the timed
 # region amortizes it over CHUNK rounds. Measured on viking: chunk 6 =
-# 12.27 Mrays/s, 12 = 12.59, 24 = 12.76; 12 keeps the longest call
-# (config 5 at 4K, ~12 s) well below the relay-watchdog lengths that
-# bit in round 2.
-CHUNK = 12
+# 12.27 Mrays/s, 12 = 12.59, 24 = 12.76. The 1080p configs take
+# 24-round calls (longest: viking ~4 s); the 4K and streamed-terrain
+# configs stay at 6-round calls (~6-12 s) to remain well below the
+# relay-watchdog lengths that bit in round 2.
+CHUNK = 24
 
 
 def bench_scene(name, scene, camera_model=0, tone=0,
-                width=WIDTH, height=HEIGHT, timed_rounds=TIMED_ROUNDS):
+                width=WIDTH, height=HEIGHT, timed_rounds=TIMED_ROUNDS,
+                chunk=None):
     import jax
     import jax.numpy as jnp
     from path_tracer_tpu import RenderConfig, SceneLayout, compile_scene
@@ -61,7 +63,7 @@ def bench_scene(name, scene, camera_model=0, tone=0,
     # (static rounds=chunk) is the one compiled here: on this deferred-
     # dispatch runtime a mismatched warmup pushes the recompile into the
     # timed region.
-    chunk = min(CHUNK, timed_rounds)
+    chunk = min(chunk or CHUNK, timed_rounds)
     state = None
     for _ in range(max(WARMUP_ROUNDS // chunk, 1)):
         state = render(packed, config, chunk, seed=0, layout=layout,
@@ -181,7 +183,7 @@ def main():
     # mesh. This row times the same scene single-chip at 4K (UHD).
     configs['5_multi_mesh_4k'] = bench_scene(
         '5_multi_mesh_4k', make_multi_mesh_scene(detail=1),
-        width=3840, height=2160, timed_rounds=6)
+        width=3840, height=2160, timed_rounds=6, chunk=6)
     # Config 6 (beyond BASELINE's table): 1.6M triangles of UNIQUE
     # geometry whose tables oversubscribe the 64 MB VMEM budget 2.3x --
     # times the HBM-streaming path (resident prefix + per-pop miss
@@ -189,7 +191,8 @@ def main():
     # such scenes in 256 MiB+ SSBOs with no cliff (scene.cpp:1648);
     # this row proves the TPU design has no cliff either.
     configs['6_terrain_stream'] = bench_scene(
-        '6_terrain_stream', make_terrain_scene(side=900), timed_rounds=6)
+        '6_terrain_stream', make_terrain_scene(side=900), timed_rounds=6,
+        chunk=6)
 
     golden_failures = check_goldens()
 
