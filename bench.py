@@ -63,7 +63,7 @@ def bench_scene(name, scene, camera_model=0, tone=0,
     # (static rounds=chunk) is the one compiled here: on this deferred-
     # dispatch runtime a mismatched warmup pushes the recompile into the
     # timed region.
-    chunk = min(chunk or CHUNK, timed_rounds)
+    chunk = min(CHUNK if chunk is None else chunk, timed_rounds)
     state = None
     for _ in range(max(WARMUP_ROUNDS // chunk, 1)):
         state = render(packed, config, chunk, seed=0, layout=layout,

@@ -183,8 +183,8 @@ def scatter(packed, state, ray_origin, ray_direction, hit, rng: Rng,
         throughput = state['throughput'] * jnp.exp(
             -medium['absorption'] * hit['time'])
     else:
-        medium = dict(priority=active_shape,
-                      ior=jnp.ones((4, n_lanes)))
+        # Only 'priority' is read outside the has-medium branches.
+        medium = dict(priority=active_shape)
         throughput = state['throughput']
     probability = state['probability']
     sample = state['sample']                         # (3, N)

@@ -150,3 +150,44 @@ def test_opacity_stochastic_transparency():
     assert solid[6, 12].mean() < 0.5 * sky
     # Half opacity sits in between.
     assert solid[6, 12].mean() < half[6, 12].mean() < clear[6, 12].mean()
+
+
+def test_static_specialization_flags_are_bitwise_noops():
+    """The three scatter static-specialization flags (scene_has_medium,
+    has_skybox_sampling, has_transmissive) must preserve the RNG draw
+    order, so forcing each OFF on a scene where it is legitimately
+    False yields a bitwise-identical render to the general path."""
+    import dataclasses
+
+    import numpy as np
+
+    from path_tracer_tpu import RenderConfig, SceneLayout, compile_scene
+    from path_tracer_tpu.integrator.wavefront import render
+    from path_tracer_tpu.scene.procedural import make_cornell_scene
+
+    packed = compile_scene(make_cornell_scene(), aspect_ratio=2.0)
+    layout = SceneLayout.from_packed(packed)
+    assert not layout.scene_has_medium
+    assert not layout.has_skybox_sampling
+    assert not layout.has_transmissive
+    config = RenderConfig(width=48, height=24)
+
+    def run(lay):
+        state = render(packed, config, 6, seed=3, layout=lay)
+        return (np.asarray(state['accum']['xyz']),
+                np.asarray(state['accum']['count']))
+
+    base = run(dataclasses.replace(layout, scene_has_medium=True,
+                                   has_skybox_sampling=True,
+                                   has_transmissive=True))
+    for flag in ('scene_has_medium', 'has_skybox_sampling',
+                 'has_transmissive'):
+        specialized = run(dataclasses.replace(
+            layout, scene_has_medium=flag != 'scene_has_medium',
+            has_skybox_sampling=flag != 'has_skybox_sampling',
+            has_transmissive=flag != 'has_transmissive'))
+        for a, b in zip(base, specialized):
+            assert (a == b).all(), flag
+    fully = run(layout)
+    for a, b in zip(base, fully):
+        assert (a == b).all()
