@@ -109,13 +109,17 @@ def permute_rows(rows, perm):
             for i in range(k)]
 
 
-# Measured negative (on-chip, 2M lanes): un-permuting the kernel
+# Measured negatives (on-chip, 2M lanes): un-permuting the kernel
 # outputs with one packed (N, 8) row SCATTER (out[perm] = rows, no
 # inverse permutation materialized) costs ~+100 ms per round vs
 # gathering by the inverse -- TPU scatters do not share the gather's
-# flat per-index cost even with unique_indices. A single (N,) int
-# scatter to BUILD the inverse (inv[perm] = iota) is fine (~neutral vs
-# a second argsort); the packed-row un-permute stays a gather.
+# flat per-index cost even with unique_indices. Even the single (N,)
+# int scatter that builds the inverse (inv[perm] = iota) costs ~6 ms
+# where a second argsort costs ~0.4 (XLA's int32 sort is nearly free
+# on TPU) -- the inverse is now built by argsort(perm) and the
+# packed-row un-permute stays a gather. Gather cost is also completely
+# INSENSITIVE to index locality (tools/exp_gather_locality.py), so the
+# permutation tax does not shrink with smoother sort keys.
 STACK_DEPTH = 48
 
 
@@ -801,11 +805,12 @@ def trace(packed, layout: SceneLayout, origin, direction,
         k_origin, k_direction, k_tin = origin, direction, hit['time']
         if sort_packets:
             perm = jnp.argsort(ray_sort_key(packed, origin, direction))
-            # Inverse permutation by scatter, not a second argsort
-            # (inv[perm[i]] = i): one (N,) scatter vs a full 2M-lane
-            # sort network.
-            inv = jnp.zeros_like(perm).at[perm].set(
-                jnp.arange(perm.shape[0], dtype=perm.dtype))
+            # Inverse permutation by a SECOND argsort: XLA's int32
+            # argsort is nearly free on TPU (~0.4 ms at 2M net of
+            # dispatch, tools/exp_gather_locality.py session probes)
+            # while the (N,) scatter build costs ~6 ms; the fused
+            # viking round measured 4 ms faster this way.
+            inv = jnp.argsort(perm)
             rows = permute_rows(
                 [origin[0], origin[1], origin[2], direction[0],
                  direction[1], direction[2], hit['time']], perm)
