@@ -95,6 +95,12 @@ class RenderConfig:
     # Coherent packets are what make the Pallas trace kernel fast on
     # bounce rays; wants_sort() gates it to scenes where it pays.
     sort_rays: bool = True
+    # Sort permutation granularity: lanes move in blocks of this many
+    # consecutive lanes (must divide the lane count; silently degrades
+    # to gcd). Measured NEGATIVE above 1 (tools/exp_blocksort.py):
+    # even 8-lane blocks lose octant purity and the whole 2.7x sort
+    # win with it; kept as a measurement knob only.
+    sort_block: int = 1
 
 
 # Minimum world triangle SLOTS (wide-leaf rows x 8, counting padding --
@@ -186,7 +192,8 @@ def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
     def one_round(_, rs):
         rng = Rng(rs['rng_state'])
         hit = trace(packed, layout, rs['origin'], rs['direction'],
-                    sort_packets=sort_each_round)
+                    sort_packets=sort_each_round,
+                    sort_block=config.sort_block)
         path, origin, direction, alive = scatter(
             packed, rs['path'], rs['origin'], rs['direction'], hit, rng,
             termination_probability, layout)

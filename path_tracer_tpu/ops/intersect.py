@@ -23,6 +23,7 @@ Hit state is a dict of SoA arrays over rays.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -86,7 +87,7 @@ def ray_sort_key(packed, origin, direction):
     return (octant << 15) | morton
 
 
-def permute_rows(rows, perm):
+def permute_rows(rows, perm, block=1):
     """Permute a list of (N,) rows by ONE packed row gather.
 
     TPU gathers cost per lane *index*, not per byte (a k-float row
@@ -95,6 +96,14 @@ def permute_rows(rows, perm):
     lanes, tools/exp_permute.py), so the rows are stacked into one
     (N, k<=8-padded) matrix, gathered once, and unpacked. Ints ride as
     bitcast f32. Returns the permuted rows with original dtypes.
+
+    block > 1 applies a BLOCK permutation: `perm` then has N/block
+    entries and moves whole groups of `block` consecutive lanes
+    together -- block-times-fewer gather indices at wider rows, the
+    cheap direction for the gather. Measured NEGATIVE as a sort
+    granularity (tools/exp_blocksort.py): even 8-lane blocks lose the
+    packets' octant purity and give back the entire 2.7x sort win, so
+    production keeps block=1; the mechanism stays for measurement.
     """
     k = len(rows)
     width = -(-k // 8) * 8
@@ -103,7 +112,13 @@ def permute_rows(rows, perm):
             else jax.lax.bitcast_convert_type(r, jnp.float32) for r in rows]
     matrix = jnp.stack(
         cast + [jnp.zeros(n, jnp.float32)] * (width - k), axis=0)
-    out = jnp.take(matrix.T, perm, axis=0).T
+    flat = matrix.T  # (n, width); reshape below is layout-free
+    if block > 1:
+        flat = flat.reshape(n // block, block * width)
+    out = jnp.take(flat, perm, axis=0)
+    if block > 1:
+        out = out.reshape(n, width)
+    out = out.T
     return [out[i] if rows[i].dtype == jnp.float32
             else jax.lax.bitcast_convert_type(out[i], rows[i].dtype)
             for i in range(k)]
@@ -767,7 +782,7 @@ def resolve_hit_attributes(packed, layout: SceneLayout, origin, direction, hit):
 
 def trace(packed, layout: SceneLayout, origin, direction,
           duration=HIT_TIME_LIMIT, use_packet=None, interpret=False,
-          sort_packets=False):
+          sort_packets=False, sort_block=1):
     """Full trace: intersect every shape, resolve hit attributes.
 
     origin/direction: (3, N). Returns the resolved hit SoA dict. Lanes
@@ -804,7 +819,18 @@ def trace(packed, layout: SceneLayout, origin, direction,
     if layout.mesh_instances and use_packet:
         k_origin, k_direction, k_tin = origin, direction, hit['time']
         if sort_packets:
-            perm = jnp.argsort(ray_sort_key(packed, origin, direction))
+            # Block-quantized permutation (sort_block > 1): lanes move
+            # in groups of G consecutive lanes keyed by the group's
+            # minimum sort key. G-times-fewer gather indices at wider
+            # rows is the cheap direction for the TPU gather (see
+            # permute_rows); the coherence loss is bounded because
+            # consecutive lanes are image-adjacent pixels whose rays
+            # are already correlated. Measured knee: tools/exp_blocksort.py.
+            G = math.gcd(sort_block, n) if sort_block > 1 else 1
+            key = ray_sort_key(packed, origin, direction)
+            if G > 1:
+                key = key.reshape(n // G, G).min(axis=1)
+            perm = jnp.argsort(key)
             # Inverse permutation by a SECOND argsort: XLA's int32
             # argsort is nearly free on TPU (~0.4 ms at 2M net of
             # dispatch, tools/exp_gather_locality.py session probes)
@@ -813,7 +839,7 @@ def trace(packed, layout: SceneLayout, origin, direction,
             inv = jnp.argsort(perm)
             rows = permute_rows(
                 [origin[0], origin[1], origin[2], direction[0],
-                 direction[1], direction[2], hit['time']], perm)
+                 direction[1], direction[2], hit['time']], perm, block=G)
             k_origin = jnp.stack(rows[0:3], axis=0)
             k_direction = jnp.stack(rows[3:6], axis=0)
             k_tin = rows[6]
@@ -824,7 +850,7 @@ def trace(packed, layout: SceneLayout, origin, direction,
                 tlas_rows=layout.tlas_rows, interpret=interpret)
             if sort_packets:
                 t, face, fu, fv, inst = permute_rows(
-                    [t, face, fu, fv, inst], inv)
+                    [t, face, fu, fv, inst], inv, block=G)
             normal, uv, shp = trace_inst.resolve_inst_attributes(
                 packed.inst_attrs, packed.inst_aux, face, fu, fv, inst,
                 n_instances=len(layout.mesh_instances))
@@ -833,7 +859,8 @@ def trace(packed, layout: SceneLayout, origin, direction,
                 packed.wide_nodes_g, packed.wide_tris_g, k_origin,
                 k_direction, k_tin, interpret=interpret)
             if sort_packets:
-                t, face, fu, fv = permute_rows([t, face, fu, fv], inv)
+                t, face, fu, fv = permute_rows([t, face, fu, fv], inv,
+                                               block=G)
             normal, uv, shp = trace_packet.resolve_wide_attributes(
                 packed.wide_attrs, face, fu, fv)
         improved = face >= 0

@@ -228,6 +228,17 @@ def test_sorted_trace_matches_unsorted():
         frac = (np.abs(a - b) <= 1e-5).mean()
         assert frac >= 0.995, (key, frac)
 
+    # The block-quantized permutation (a measured perf negative kept as
+    # a measurement knob, tools/exp_blocksort.py) must stay an exact
+    # roundtrip: block-sorted results match the unsorted kernel too.
+    hb = trace(packed, layout, jnp.asarray(o), jnp.asarray(d),
+               use_packet=True, interpret=True, sort_packets=True,
+               sort_block=32)
+    np.testing.assert_allclose(np.asarray(hb['time']),
+                               np.asarray(hu['time']), rtol=1e-5, atol=1e-5)
+    agree = (np.asarray(hb['shape']) == np.asarray(hu['shape'])).mean()
+    assert agree > 0.995, agree
+
 
 def test_wide_trace5_matches_brute_force():
     """The v5 (splat + geometry-only leaf) kernel must reproduce brute
