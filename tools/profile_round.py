@@ -61,8 +61,13 @@ def profile_scene(name, scene, camera_model=0):
     print(f'# [{name}] compiled in {time.time()-t0:.1f}s: '
           f'{int(packed.face_positions.shape[2])} tris', file=sys.stderr)
 
-    # Warm state: run a few rounds so ray/state distribution is realistic.
-    state = wf.render(packed, config, 4, seed=0, layout=layout)
+    # Warm state to the STEADY-STATE ray mix: the bounce fraction keeps
+    # climbing for ~24 rounds and the kernel is ~10% slower on the
+    # stationary mix than after 4 rounds (139.7 vs 152.9 ms/round,
+    # tools/exp_loopgap.py) -- under-warmed profiles flatter the trace
+    # stage. The 24-round fori_loop itself adds nothing (loop rate ==
+    # steady single-round rate).
+    state = wf.render(packed, config, 24, seed=0, layout=layout)
     float(jnp.sum(state['accum']['count']))
 
     # Per-call dispatch/readback overhead on this runtime is large
