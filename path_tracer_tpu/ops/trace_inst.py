@@ -80,6 +80,21 @@ PREFETCH_TOS = True
 # primaries, hit t identical (face ties 0.02%). Module switch for the
 # A/B tools.
 OCT_ORDER = True
+# Pop-time reach culling: every push stores the child's packet-min
+# entry distance in a parallel SMEM stack; a per-packet scalar t_max
+# (max current hit t over the packet, refreshed after each leaf pop)
+# lets a pop be skipped entirely when its stored entry can no longer
+# beat ANY ray's current t (sound: entry_min >= t_max implies
+# entry_ray >= t_ray for every ray). Measured NEGATIVE on-chip
+# (tools/exp_popcull.py, viking steady-state rays): the aggregate test
+# fires on only 0.08% of bounce pops / 2% of primary pops -- almost
+# every 3072-ray packet contains a miss ray whose t stays at the
+# horizon, pinning t_max, and the far-first octant ordering already
+# minimizes staleness -- while the entry staging costs up to +15%
+# kernel-only on bounce rays (the (8,1)->(8,128) broadcast-store +
+# scalar reads do NOT hide under the vector-bound pop). Kept gated +
+# equality-tested, default OFF.
+POP_CULL = False
 
 
 def tables_fit_vmem(nodes, tris_g, inst_rows):
@@ -110,7 +125,8 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             t_ref, face_ref, fu_ref, fv_ref, inst_ref, *rest,
             interleave, leaf_rows, tlas_rows, res_nodes, res_tris,
             n_nodes, n_tris, prefetch, width=8, leaf_fmt='mt',
-            packet_rows=PACKET_ROWS, oct_order=False, stats=False):
+            packet_rows=PACKET_ROWS, oct_order=False, pop_cull=False,
+            stats=False):
     meta_lane = NODE_LAYOUT[width]['meta']
     if stats:
         # Stats mode appends a (rows, 128) int32 output: lane 0/1/2/3 of
@@ -125,6 +141,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
     streaming = stream_nodes or stream_tris
     if streaming:
         (stack_ref, sp_ref, cur_ref, fwd_ref, meta_scr, ct_ref,
+         stack_e_ref, tmax_ref, ent_scr, ents_vmem,
          rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
          wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
          nodes_ref, tris_ref, inst_tab_ref, nrow_scr,
@@ -140,6 +157,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         lsems = rest2[interleave:]
     else:
         (stack_ref, sp_ref, cur_ref, fwd_ref, meta_scr, ct_ref,
+         stack_e_ref, tmax_ref, ent_scr, ents_vmem,
          rox, roy, roz, rdx, rdy, rdz, rix, riy, riz, rpx, rpy, rpz,
          wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, wpx, wpy, wpz,
          nodes_ref, tris_ref, inst_tab_ref, sems) = rest
@@ -214,15 +232,20 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         stack_ref[p, 0] = jnp.int32(0)
         sp_ref[p] = jnp.int32(1)
         cur_ref[p] = jnp.int32(0)
+        if pop_cull:
+            stack_e_ref[p, 0] = -bigf
+            tmax_ref[p] = jnp.max(t_in_ref[pk[p]['sl'], :])
         if stream_tris:
             pref_ref[p] = jnp.int32(-1)
     if stats:
-        for c in range(4):
+        for c in range(5):
             ct_ref[c] = jnp.int32(0)
 
-    def enter_instance(p, i, sp):
+    def enter_instance(p, i, sp, tag_entry=None):
         """Splat the instance's object_from_world, refresh the object
-        registers, push its mesh root."""
+        registers, push its mesh root (inheriting the tag's stored
+        entry distance when pop culling is on -- the mesh root's reach
+        is exactly the TLAS leaf's)."""
         if stats:
             ct_ref[3] = ct_ref[3] + 1
         sl = pk[p]['sl']
@@ -268,6 +291,8 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         @pl.when(sp < STACK_DEPTH)
         def _():
             stack_ref[p, sp] = root
+            if pop_cull:
+                stack_e_ref[p, sp] = tag_entry
         sp_ref[p] = jnp.where(sp < STACK_DEPTH, sp + 1, sp)
 
     def interior(p, v, sp, world):
@@ -333,6 +358,16 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         hit = ents < PASS_LIMIT
         mask = jnp.sum(jnp.where(hit, pow2, 0.0)).astype(jnp.int32)
 
+        if pop_cull:
+            # Stage the per-child packet-min entries for the scalar
+            # push sites: (width,1) vreg -> lane-broadcast VMEM store
+            # -> static scalar loads -> SMEM (readable at a traced
+            # child index, like meta_scr). One vector store; the rest
+            # is scalar-unit work hidden under the vector-bound pop.
+            ents_vmem[:, :] = jnp.broadcast_to(ents, (width, 128))
+            for c in range(width):
+                ent_scr[p, c] = ents_vmem[c, 0]
+
         if world:
             fwd = pk[p]['fwd']
             fwd = (jnp.asarray(fwd[0]), jnp.asarray(fwd[1]),
@@ -368,10 +403,14 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
                 take = jax.lax.shift_right_logical(mask, ch) & 1
                 m = meta_scr[p, ch]
                 ok = (take != 0) & (m != 0) & (sp < STACK_DEPTH)
+                if pop_cull:
+                    e_c = ent_scr[p, ch]
 
                 @pl.when(ok)
                 def _():
                     stack_ref[p, sp] = m
+                    if pop_cull:
+                        stack_e_ref[p, sp] = e_c
 
                 sp = jnp.where(ok, sp + 1, sp)
             sp_ref[p] = sp
@@ -392,10 +431,14 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
                 m = jnp.where(flip, nodes_ref[v, meta_lane + c_r],
                               nodes_ref[v, meta_lane + c_f])
             ok = (take != 0) & (m != 0.0) & (sp < STACK_DEPTH)
+            if pop_cull:
+                e_c = jnp.where(flip, ent_scr[p, c_r], ent_scr[p, c_f])
 
             @pl.when(ok)
             def _():
                 stack_ref[p, sp] = m.astype(jnp.int32)
+                if pop_cull:
+                    stack_e_ref[p, sp] = e_c
 
             sp = jnp.where(ok, sp + 1, sp)
         sp_ref[p] = sp
@@ -521,6 +564,11 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             @pl.when(count > 8 * r)
             def _(r=r):
                 do_row(r)
+        if pop_cull:
+            # Refresh the packet's conservative t ceiling; t only
+            # tightens at leaf pops, and a stale-high t_max stays
+            # sound.
+            tmax_ref[p] = jnp.max(t_ref[sl, :])
 
     def pop_one(p):
         sp = sp_ref[p]
@@ -531,11 +579,22 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             v = stack_ref[p, sp1]
             sp_ref[p] = sp1
 
-            @pl.when(v >= INST_BASE)
-            def _():
-                enter_instance(p, v - INST_BASE, sp1)
+            if pop_cull:
+                # Skip the whole pop when its stored packet-min entry
+                # can no longer beat any ray's current t (entry_min >=
+                # t_max implies entry_ray >= t_ray for every ray).
+                live = stack_e_ref[p, sp1] < tmax_ref[p]
+                if stats:
+                    ct_ref[4] = ct_ref[4] + jnp.where(live, 0, 1)
+            else:
+                live = True
 
-            @pl.when((v >= 0) & (v < INST_BASE))
+            @pl.when((v >= INST_BASE) & live)
+            def _():
+                tag_e = stack_e_ref[p, sp1] if pop_cull else None
+                enter_instance(p, v - INST_BASE, sp1, tag_e)
+
+            @pl.when((v >= 0) & (v < INST_BASE) & live)
             def _():
                 if tlas_rows > 0:
                     @pl.when(v < tlas_rows)
@@ -548,7 +607,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
                 else:
                     interior(p, v, sp1, world=False)
 
-            @pl.when(v < 0)
+            @pl.when((v < 0) & live)
             def _():
                 leaf(p, v)
 
@@ -594,18 +653,22 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
                          jnp.where(li == 1, ct_ref[1],
                                    jnp.where(li == 2, ct_ref[2],
                                              jnp.where(li == 3, ct_ref[3],
-                                                       0))))
+                                                       jnp.where(li == 4,
+                                                                 ct_ref[4],
+                                                                 0)))))
         stats_ref[:, :] = jnp.where(ri == 0, vals, 0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'interleave', 'leaf_rows',
                                     'tlas_rows', 'width', 'leaf_fmt',
-                                    'packet_rows', 'oct_order', 'stats'))
+                                    'packet_rows', 'oct_order', 'pop_cull',
+                                    'stats'))
 def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                tlas_rows, interpret=False, interleave=INTERLEAVE,
                leaf_rows=LEAF_MAX // 8, width=8, leaf_fmt=None,
-               packet_rows=PACKET_ROWS, oct_order=None, stats=False):
+               packet_rows=PACKET_ROWS, oct_order=None, pop_cull=None,
+               stats=False):
     """Trace world rays against the two-level instanced tables.
 
     nodes: (W, 128) [TLAS rows | rebased mesh rows] (row 0 = TLAS
@@ -628,6 +691,8 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
         leaf_fmt = LEAF_FMT
     if oct_order is None:
         oct_order = OCT_ORDER
+    if pop_cull is None:
+        pop_cull = POP_CULL
     split = residency_split(nodes.shape, tris_g.shape, inst_rows.shape)
     if split is None:
         raise ValueError('tables exceed the streamable VMEM budget')
@@ -686,7 +751,8 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                           n_tris=int(tris_g.shape[0]),
                           prefetch=PREFETCH_TOS, width=width,
                           leaf_fmt=leaf_fmt, packet_rows=packet_rows,
-                          oct_order=oct_order, stats=stats),
+                          oct_order=oct_order, pop_cull=pop_cull,
+                          stats=stats),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(), table_block(), table_block()]
@@ -698,7 +764,13 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
             pltpu.SMEM((interleave,), jnp.int32),      # current instance
             pltpu.SMEM((interleave, 3), jnp.int32),    # object fwd flags
             pltpu.SMEM((interleave, 8), jnp.int32),    # oct-order metas
-            pltpu.SMEM((4,), jnp.int32),               # stats counters
+            pltpu.SMEM((5,), jnp.int32),               # stats counters
+            # Pop-cull bookkeeping (allocated unconditionally to keep
+            # one scratch shape; a few KB of SMEM + one VMEM tile):
+            pltpu.SMEM((interleave, STACK_DEPTH), jnp.float32),  # entries
+            pltpu.SMEM((interleave,), jnp.float32),    # packet t_max
+            pltpu.SMEM((interleave, width), jnp.float32),  # staged ents
+            pltpu.VMEM((width, 128), jnp.float32),     # ents staging tile
         ] + [reg() for _ in range(24)] + [
             # Resident tables: full table shape when fully resident;
             # when streaming, the prefix padded up to a whole (8, 128)
@@ -737,7 +809,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
         # Per packet-group counters live at sublane 0, lanes 0..3 of
         # each block: sum them across the grid.
         st = out[5].reshape(grid, interleave * packet_rows, 128)
-        return t, face, fu, fv, inst, jnp.sum(st[:, 0, :4], axis=0)
+        return t, face, fu, fv, inst, jnp.sum(st[:, 0, :5], axis=0)
     return t, face, fu, fv, inst
 
 

@@ -204,8 +204,8 @@ def test_octant_perm_lanes():
 
 
 def test_inst_trace_stats_mode():
-    """stats=True returns [interior, leaf, iters, inst_enters] counters
-    and does not perturb the hit results."""
+    """stats=True returns [interior, leaf, iters, inst_enters, culled]
+    counters and does not perturb the hit results."""
     scene, rng = _instanced_scene(4)
     packed = compile_mod.compile_scene(scene)
     layout = SceneLayout.from_packed(packed)
@@ -223,9 +223,34 @@ def test_inst_trace_stats_mode():
         packed.inst_nodes, packed.inst_tris, packed.inst_rows, o, d, t_in,
         tlas_rows=layout.tlas_rows, interpret=True, stats=True)
     st = np.asarray(st)
-    assert st.shape == (4,)
-    interior, leafp, iters, inst_enters = (int(x) for x in st)
+    assert st.shape == (5,)
+    interior, leafp, iters, inst_enters, culled = (int(x) for x in st)
     assert leafp > 0 and iters >= interior + leafp
     assert inst_enters >= 1
+    assert culled == 0  # POP_CULL defaults off
     for a, b in zip(base, withs):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_pop_cull_equality():
+    """Pop-time reach culling (a measured on-chip negative kept gated,
+    tools/exp_popcull.py) must stay an exact no-op on results: culled
+    pops can only be ones no ray could improve on."""
+    scene, rng = _instanced_scene(5)
+    packed = compile_mod.compile_scene(scene)
+    layout = SceneLayout.from_packed(packed)
+    n = 2048
+    o = jnp.asarray(rng.uniform(-5, 5, (3, n)).astype(np.float32))
+    d = rng.normal(0, 1, (3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    d = jnp.asarray(d)
+    t_in = jnp.full((n,), 1e7, jnp.float32)
+
+    base = trace_inst.inst_trace(
+        packed.inst_nodes, packed.inst_tris, packed.inst_rows, o, d, t_in,
+        tlas_rows=layout.tlas_rows, interpret=True, pop_cull=False)
+    cull = trace_inst.inst_trace(
+        packed.inst_nodes, packed.inst_tris, packed.inst_rows, o, d, t_in,
+        tlas_rows=layout.tlas_rows, interpret=True, pop_cull=True)
+    for a, b in zip(base, cull):
         assert (np.asarray(a) == np.asarray(b)).all()

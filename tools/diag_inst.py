@@ -29,17 +29,17 @@ from path_tracer_tpu.scene.procedural import make_viking_hall_scene
 WIDTH, HEIGHT = 1920, 1080
 
 
-def run(packed, layout, o, d, t_in, oct_order, label):
+def run(packed, layout, o, d, t_in, oct_order, label, pop_cull=None):
     st = trace_inst.inst_trace(
         packed.inst_nodes, packed.inst_tris, packed.inst_rows,
         o, d, t_in, tlas_rows=layout.tlas_rows,
-        oct_order=oct_order, stats=True)[5]
+        oct_order=oct_order, pop_cull=pop_cull, stats=True)[5]
     st = np.asarray(st)
     n = o.shape[1]
-    interior, leafp, iters, inst = (int(x) for x in st)
+    interior, leafp, iters, inst, culled = (int(x) for x in st)
     print(f'  {label:26s} interior {interior:8d}  leaf {leafp:8d}  '
           f'pops/ray {(interior + leafp) / n:.4f}  iters {iters}  '
-          f'inst_enters {inst}')
+          f'inst_enters {inst}  culled {culled}')
     return interior, leafp
 
 

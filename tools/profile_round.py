@@ -175,7 +175,8 @@ def profile_scene(name, scene, camera_model=0):
 
 def main():
     from path_tracer_tpu.scene.procedural import (
-        make_cornell_scene, make_viking_hall_scene)
+        make_360_scene, make_cornell_scene, make_multi_mesh_scene,
+        make_viking_hall_scene)
 
     names = sys.argv[1:] or ['cornell', 'viking']
     out = {}
@@ -184,6 +185,13 @@ def main():
     if 'viking' in names:
         out['viking'] = profile_scene('viking',
                                       make_viking_hall_scene(detail=1))
+    if '360' in names:
+        out['360'] = profile_scene('360', make_360_scene(), camera_model=2)
+    if 'multimesh' in names:
+        # The bench times this config at 4K; profile at 1080p (same
+        # per-lane structure, 4x fewer lanes) unless 'multimesh4k'.
+        out['multimesh'] = profile_scene('multimesh',
+                                         make_multi_mesh_scene(detail=1))
     print(json.dumps(out))
 
 
