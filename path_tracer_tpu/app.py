@@ -106,9 +106,25 @@ class Session:
             self._recompile()
             restarted = True
         n_rounds = rounds if rounds is not None else (2 if restarted else 1)
-        self.state = render(self.packed, self.config, n_rounds,
-                            layout=self.layout, state=self.state,
-                            termination_probability=self.termination_probability)
+        # Issue small round counts as repeated 1-round calls: `rounds`
+        # is a STATIC of the fused render program, so a restart frame's
+        # rounds=2 would compile a second whole program through the
+        # relay -- measured as an 18 s stall on the FIRST edit of a
+        # session (tools/measure_editor.py). Re-dispatching the warm
+        # 1-round program costs ~28 ms per extra round instead. Large
+        # explicit overrides keep the fused single program (its compile
+        # amortizes over repeated calls).
+        if n_rounds <= 2:
+            for _ in range(n_rounds):
+                self.state = render(
+                    self.packed, self.config, 1,
+                    layout=self.layout, state=self.state,
+                    termination_probability=self.termination_probability)
+        else:
+            self.state = render(
+                self.packed, self.config, n_rounds,
+                layout=self.layout, state=self.state,
+                termination_probability=self.termination_probability)
         self.frame_index += 1
         return resolve(self.state['accum'], self.width, self.height,
                        brightness=brightness, mode=tonemap_mode,

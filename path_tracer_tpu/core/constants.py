@@ -29,6 +29,11 @@ SHAPE_TYPE_MESH_INSTANCE = 0
 SHAPE_TYPE_PLANE = 1
 SHAPE_TYPE_SPHERE = 2
 SHAPE_TYPE_CUBE = 3
+# Padded shape-table slots (scene/compile.py bucket padding): inert
+# rows that keep packed array shapes -- and with them the compiled
+# program cache keys -- stable under small scene edits. Never produced
+# by a hit; skipped by layout reconstruction.
+SHAPE_TYPE_NONE = -1
 
 TEXTURE_TYPE_RAW = 0
 TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA = 1

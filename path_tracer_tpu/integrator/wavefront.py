@@ -123,7 +123,7 @@ def wants_sort(config: RenderConfig, layout) -> bool:
     Streamed over-VMEM scenes benefit doubly: packet coherence is what
     keeps the HBM leaf-miss rate down."""
     if not (config.sort_rays and layout is not None
-            and layout.mesh_instances):
+            and layout.instance_slots):
         return False
     packet_runs = (layout.inst_fit if layout.packet_mode == 'inst'
                    else layout.wide_fit)

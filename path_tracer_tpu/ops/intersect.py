@@ -147,8 +147,19 @@ class SceneLayout:
     changes (cheap; jit caches previous layouts).
     """
 
-    analytic_shapes: Tuple[Tuple[int, int], ...]  # (shape_index, shape_type)
-    mesh_instances: Tuple[Tuple[int, int], ...]   # (shape_index, root_node)
+    # Analytic shapes as (shape_type, bucket-padded group size): ONLY
+    # the type set and padded counts are static -- the shape indices
+    # themselves ride in packed.analytic_idx as traced arrays, so
+    # adding/deleting an entity inside a bucket reuses every compiled
+    # program (tools/measure_editor.py: 23-95 s per edit before, one
+    # dispatch after).
+    analytic_buckets: Tuple[Tuple[int, int], ...]  # (shape_type, padded K)
+    # Mesh instances, bucket-padded (0 = none, 1 = exactly one -- kept
+    # exact so the single-instance attribute broadcast still fires --
+    # else _bucket(count)). The (shape_index, root) pairs themselves
+    # ride in packed.portable_inst_{shape,root} as traced arrays.
+    instance_slots: int
+    # Bucket-padded shape-table length (array dim, not true count).
     num_shapes: int
     # Static texture-usage flags: texture taps are skipped entirely at
     # trace time for scenes that cannot need them (per-lane table reads
@@ -216,13 +227,11 @@ class SceneLayout:
         if host is not None:
             return host
         shape_type = np.asarray(packed.shape_type)
-        mesh_root = np.asarray(packed.shape_mesh_root)
-        analytic, meshes = [], []
-        for i, t in enumerate(shape_type):
-            if t == SHAPE_TYPE_MESH_INSTANCE:
-                meshes.append((i, int(mesh_root[i])))
-            else:
-                analytic.append((i, int(t)))
+        i_real = int((shape_type == SHAPE_TYPE_MESH_INSTANCE).sum())
+        slots = 0 if i_real == 0 else int(packed.portable_inst_root.shape[0])
+        analytic = tuple(sorted(
+            (int(t), int(idx.shape[0]))
+            for t, idx in packed.analytic_idx.items()))
         m = packed.materials
         attr_cols = dict(base=m.base_texture, specular=m.specular_texture,
                          roughness=m.roughness_texture,
@@ -236,7 +245,7 @@ class SceneLayout:
         mat_types = np.asarray(m.type)
         referenced = mat_types[np.asarray(packed.shape_material)]
         return SceneLayout(
-            tuple(analytic), tuple(meshes), len(shape_type),
+            analytic, slots, len(shape_type),
             has_skybox_texture=int(packed.skybox_texture_index) != TEXTURE_INDEX_NONE,
             materials_textured=textured,
             textured_attrs=textured_attrs,
@@ -276,7 +285,10 @@ def build_layout_host(scene, packed):
     from ..scene.model import ENTITY_TYPE_MESH_INSTANCE
     from . import trace_packet
 
-    analytic, meshes = [], []
+    from ..scene.compile import _bucket
+
+    by_type = {}
+    i_real = 0
     mat_types = set()
     index = 0
     for entity in (e for e, _ in scene.walk_entities_with_transform()):
@@ -286,13 +298,18 @@ def build_layout_host(scene, packed):
             continue
         stype = _ENTITY_TO_SHAPE_TYPE[entity.type]
         if stype == SHAPE_TYPE_MESH_INSTANCE:
-            meshes.append((index, int(entity.mesh.packed_root_node_index)))
+            i_real += 1
         else:
-            analytic.append((index, int(stype)))
+            by_type.setdefault(int(stype), []).append(index)
         # Material slot 0 is the fallback OpenPBR surface.
         mat_types.add(int(entity.material.type) if entity.material is not None
                       else MATERIAL_TYPE_OPENPBR)
         index += 1
+    # Mirror compile.py's bucket padding exactly (one source of truth
+    # for the pad function): static = (type, padded count) only.
+    analytic = tuple(sorted(
+        (t, _bucket(len(idxs))) for t, idxs in by_type.items()))
+    slots = 0 if i_real == 0 else 1 if i_real == 1 else _bucket(i_real)
 
     attr_fields = dict(
         base=('base_texture', 'base_color_texture'),
@@ -317,7 +334,7 @@ def build_layout_host(scene, packed):
                   if packet_mode == 'inst'
                   else int(packed.wide_tris_g.shape[0]) * 8)
     return SceneLayout(
-        tuple(analytic), tuple(meshes), max(index, 1),
+        analytic, slots, _bucket(index),
         packet_mode=packet_mode,
         tlas_rows=tlas_rows,
         inst_fit=inst_fit,
@@ -462,12 +479,9 @@ def intersect_analytic(packed, layout: SceneLayout, origin, direction, hit):
     gathers this replaces cost ~70 ms at 2M lanes (TPU gathers pay per
     lane-index, see _sort_state).
     """
-    if not layout.analytic_shapes:
+    if not layout.analytic_buckets:
         return hit
 
-    by_type = {}
-    for i, t in layout.analytic_shapes:
-        by_type.setdefault(int(t), []).append(int(i))
     intersectors = {
         SHAPE_TYPE_PLANE: _intersect_plane,
         SHAPE_TYPE_SPHERE: _intersect_sphere,
@@ -475,10 +489,15 @@ def intersect_analytic(packed, layout: SceneLayout, origin, direction, hit):
     }
 
     reach = hit['time'][None, :]
-    groups = []  # (shape_indices, o (3,S,N), d (3,S,N), t (S,N))
-    for stype, indices in sorted(by_type.items()):
-        from_world = packed.shape_object_from_world[
-            :, :, jnp.asarray(np.asarray(indices, np.int32))]  # (4, 4, S)
+    groups = []  # (stype, idx (S,), o (3,S,N), d (3,S,N), t (S,N))
+    for stype, k_pad in layout.analytic_buckets:
+        # TRACED index array (packed.analytic_idx): only the type and
+        # the bucket-padded group size are program structure, so entity
+        # add/delete within a bucket reuses the compiled program.
+        # Padded slots carry valid=0 and are masked to INFINITY below.
+        idx = packed.analytic_idx[stype]           # (S,) int32, S == k_pad
+        valid = packed.analytic_valid[stype] > 0.0  # (S,) bool
+        from_world = packed.shape_object_from_world[:, :, idx]  # (4, 4, S)
         m = from_world[:, :, :, None]  # (4, 4, S, 1)
         o = jnp.stack([
             m[i, 0, :, 0][:, None] * origin[0]
@@ -492,20 +511,22 @@ def intersect_analytic(packed, layout: SceneLayout, origin, direction, hit):
             + m[i, 2, :, 0][:, None] * direction[2]
             for i in range(3)
         ], axis=0)
-        groups.append((stype, indices, o, d, intersectors[stype](o, d, reach)))
+        t = jnp.where(valid[:, None], intersectors[stype](o, d, reach),
+                      INFINITY)
+        groups.append((stype, idx, o, d, t))
 
     best_t = jnp.min(jnp.concatenate([t for *_, t in groups], axis=0), axis=0)
     improved = best_t < hit['time']
 
     # Winner attributes via a reverse unrolled select sweep (the lowest
-    # shape index wins ties, applied last): zero gathers.
+    # slot within a group wins ties, applied last): zero gathers.
     shape_idx = hit['shape']
     shape_type = hit['shape_type']
     local = hit['coords']
-    for stype, indices, o, d, t in reversed(groups):
-        for s in range(len(indices) - 1, -1, -1):
+    for stype, idx, o, d, t in reversed(groups):
+        for s in range(t.shape[0] - 1, -1, -1):
             win = improved & (t[s] == best_t)
-            shape_idx = jnp.where(win, indices[s], shape_idx)
+            shape_idx = jnp.where(win, idx[s], shape_idx)
             shape_type = jnp.where(win, stype, shape_type)
             local = jnp.where(win, o[:, s] + d[:, s] * best_t, local)
 
@@ -515,7 +536,8 @@ def intersect_analytic(packed, layout: SceneLayout, origin, direction, hit):
         shape_type=shape_type,
         primitive=jnp.where(improved, 0, hit['primitive']),
         coords=local,
-        complexity=hit['complexity'] + len(layout.analytic_shapes),
+        complexity=hit['complexity'] + sum(k for _, k in
+                                           layout.analytic_buckets),
     )
 
 
@@ -546,11 +568,15 @@ def traverse_mesh_bvh(packed, root: int, origin, direction, hit, shape_index: in
         hi = take_vec(node_max, node_idx)
         return lo, hi
 
-    # Prune rays that miss the root bounding box entirely.
+    # Prune rays that miss the root bounding box entirely. `root` may
+    # be a TRACED scalar (the portable instance table); a padded slot's
+    # degenerate root has inverted bounds, so start is -1 for every
+    # lane and the loop below runs zero iterations.
+    root = jnp.asarray(root, jnp.int32)
     root_lo = node_min[:, root][:, None]
     root_hi = node_max[:, root][:, None]
     root_entry = intersect_aabb(origin, inv_dir, hit['time'], root_lo, root_hi)
-    start = jnp.where(root_entry < INFINITY, jnp.int32(root), jnp.int32(-1))
+    start = jnp.where(root_entry < INFINITY, root, jnp.int32(-1))
 
     # The traversal stack is (STACK_DEPTH, N) channels-first and is
     # pushed/popped with one-hot selects instead of scatters/gathers:
@@ -816,7 +842,7 @@ def trace(packed, layout: SceneLayout, origin, direction,
     hit = make_hit(n, duration)
     hit = intersect_analytic(packed, layout, origin, direction, hit)
 
-    if layout.mesh_instances and use_packet:
+    if layout.instance_slots and use_packet:
         k_origin, k_direction, k_tin = origin, direction, hit['time']
         if sort_packets:
             # Block-quantized permutation (sort_block > 1): lanes move
@@ -853,7 +879,7 @@ def trace(packed, layout: SceneLayout, origin, direction,
                     [t, face, fu, fv, inst], inv, block=G)
             normal, uv, shp = trace_inst.resolve_inst_attributes(
                 packed.inst_attrs, packed.inst_aux, face, fu, fv, inst,
-                n_instances=len(layout.mesh_instances))
+                n_instances=layout.instance_slots)
         else:
             t, face, fu, fv = trace_packet.wide_trace5(
                 packed.wide_nodes_g, packed.wide_tris_g, k_origin,
@@ -880,7 +906,12 @@ def trace(packed, layout: SceneLayout, origin, direction,
             mesh_uv=jnp.where(improved, uv, 0.0),
         )
     else:
-        for shape_index, root in layout.mesh_instances:
+        # Portable path over the TRACED instance table: only the
+        # bucket-padded slot count is program structure. Padded slots
+        # point at the degenerate root (zero loop iterations).
+        for k in range(layout.instance_slots):
+            shape_index = packed.portable_inst_shape[k]
+            root = packed.portable_inst_root[k]
             fw = packed.shape_object_from_world[:, :, shape_index]
             o = transform_point(fw, origin)
             d = transform_vector(fw, direction)

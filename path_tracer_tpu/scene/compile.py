@@ -34,6 +34,7 @@ from ..core.constants import (
     MATERIAL_TYPE_OPENPBR,
     SHAPE_INDEX_NONE,
     SHAPE_TYPE_MESH_INSTANCE,
+    SHAPE_TYPE_NONE,
     SHAPE_TYPE_PLANE,
     TEXTURE_INDEX_NONE,
 )
@@ -70,6 +71,33 @@ def _register(cls):
     fields = [f.name for f in dataclasses.fields(cls)]
     jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
     return cls
+
+
+def _bucket(n, lo=4):
+    """Pad a variable table dimension to a stable bucket (next power of
+    two, minimum `lo`).
+
+    Editor reaction time depends on it: jit cache keys include every
+    packed array's SHAPE, so an un-padded table makes adding one
+    entity/material/camera retrace the fused render program through
+    the compile relay (measured 23-95 s per edit,
+    tools/measure_editor.py). Bucketed tables keep the program cache
+    key stable until a bucket boundary is crossed. Padded rows are
+    inert -- no device code ever indexes them (hits only produce real
+    shape/material indices; analytic pads carry a validity mask)."""
+    n = max(int(n), 1)
+    return max(lo, 1 << (n - 1).bit_length())
+
+
+def _bucket_rows(n, lo=64):
+    """Row bucket for the big geometry/node tables: next multiple of an
+    eighth-of-magnitude quantum (<= 12.5% overhead) instead of a power
+    of two, whose 50% worst case could push a VMEM-resident scene into
+    the streaming path. Same purpose as _bucket: mesh edits that stay
+    inside the bucket reuse every compiled program."""
+    n = max(int(n), 1)
+    q = max(lo, 1 << max((n - 1).bit_length() - 3, 0))
+    return -(-n // q) * q
 
 
 @_register
@@ -130,12 +158,28 @@ class PackedScene:
     (scene.glsl.inc:121-179).
     """
 
-    # Shapes (flattened active entity tree, world transforms).
+    # Shapes (flattened active entity tree, world transforms). S is
+    # bucket-padded (_bucket); padded slots carry SHAPE_TYPE_NONE and
+    # identity transforms and are never referenced by hits.
     shape_type: Any             # (S,) int32
     shape_material: Any         # (S,) int32 material slot
     shape_mesh_root: Any        # (S,) int32 mesh BVH root node
     shape_world_from_object: Any  # (4, 4, S) float32 (lane axis last)
     shape_object_from_world: Any  # (4, 4, S) float32
+    # Analytic shape groups for the type-batched intersectors: per
+    # shape TYPE, a bucket-padded (K,) int32 array of shape indices and
+    # a (K,) float32 validity mask (1 real / 0 pad). Keeping the
+    # indices TRACED (not baked into the program) plus the bucketing is
+    # what lets entity add/delete reuse the compiled render program.
+    analytic_idx: Any           # dict {shape_type: (K,) int32}
+    analytic_valid: Any         # dict {shape_type: (K,) float32}
+    # Portable-path mesh instances as TRACED arrays (bucket-padded to
+    # SceneLayout.instance_slots; padded slots aim at the degenerate
+    # BVH2 root whose inverted bounds end traversal in zero
+    # iterations). Same role as analytic_idx: instance add/delete
+    # inside a bucket reuses the compiled portable program.
+    portable_inst_shape: Any    # (max(slots,1),) int32 shape indices
+    portable_inst_root: Any     # (max(slots,1),) int32 BVH2 roots
 
     # World AABB over all shapes (the root of the reference's TLAS,
     # scene.cpp:1489): feeds the coherence sort's Morton cells. The
@@ -233,7 +277,10 @@ def _pack_materials(scene: Scene, table):
     from .model import OpenPBRMaterial
 
     mats = [OpenPBRMaterial()] + list(scene.materials)
-    m = len(mats)
+    m_real = len(mats)
+    # Bucket-pad the material dimension (see _bucket): padded slots are
+    # never gathered (material indices only come from real shapes).
+    m = _bucket(m_real)
 
     def zeros(shape=(), dtype=np.float32):
         return np.zeros((m,) + shape, dtype)
@@ -324,6 +371,11 @@ def _pack_materials(scene: Scene, table):
             cols['layer_bounce_limit'][i] = mat.layer_bounce_limit
         mat.packed_material_index = i
 
+    # Padded slots read as fully opaque so layout reconstruction from
+    # the packed columns (SceneLayout.from_packed has_opacity) is not
+    # fooled by the zero-filled tail.
+    cols['opacity'][m_real:] = 1.0
+
     # Channels-first: spectra are stored (3, M) so per-lane gathers along
     # the trailing axis yield (3, N) with the lane axis minor.
     return MaterialTable(**{
@@ -366,23 +418,56 @@ def _pack_meshes(scene: Scene):
         face_base += len(faces)
         node_base += len(bvh.a)
 
+    # One DEGENERATE node (inverted bounds): the root for padded
+    # portable-instance slots. The portable traversal's root slab test
+    # fails on it, so a padded slot's traversal exits with zero loop
+    # iterations (ops/intersect.py traverse_mesh_bvh `start`).
+    node_min.append(np.full((1, 3), 1e30, np.float32))
+    node_max.append(np.full((1, 3), -1e30, np.float32))
+    node_a.append(np.zeros(1, np.int32))
+    node_b.append(np.zeros(1, np.int32))
+    scene.packed_degenerate_root = node_base
+    node_base += 1
+
     def cat(parts, empty_shape, dtype=np.float32):
         if parts:
             return np.concatenate(parts).astype(dtype)
         return np.zeros(empty_shape, dtype)
 
+    def pad0(a, target):
+        extra = target - len(a)
+        if extra <= 0:
+            return a
+        return np.concatenate(
+            [a, np.zeros((extra,) + a.shape[1:], a.dtype)])
+
+    # Bucket-pad the concatenated dims (_bucket_rows) with inert zero
+    # rows -- unreachable from any real BVH node -- so mesh imports and
+    # edits within a bucket keep every array shape stable.
+    faces_cat = pad0(cat(face_positions, (1, 3, 3)),
+                     _bucket_rows(max(face_base, 1)))
+    fverts_cat = pad0(cat(face_vertices, (1, 3), np.int32),
+                      _bucket_rows(max(face_base, 1)))
+    vn_cat = pad0(cat(vertex_normals, (1, 3)),
+                  _bucket_rows(max(vertex_base, 1)))
+    vu_cat = pad0(cat(vertex_uvs, (1, 2)),
+                  _bucket_rows(max(vertex_base, 1)))
+    nodes_target = _bucket_rows(node_base)
+    nmin_cat = pad0(cat(node_min, (1, 3)), nodes_target)
+    nmax_cat = pad0(cat(node_max, (1, 3)), nodes_target)
+    na_cat = pad0(cat(node_a, (1,), np.int32), nodes_target)
+    nb_cat = pad0(cat(node_b, (1,), np.int32), nodes_target)
+
     # Channels-first device layouts: lane/gather axis last.
     return dict(
-        face_positions=np.ascontiguousarray(
-            cat(face_positions, (1, 3, 3)).transpose(1, 2, 0)),
-        face_vertices=np.ascontiguousarray(
-            cat(face_vertices, (1, 3), np.int32).T),
-        vertex_normals=np.ascontiguousarray(cat(vertex_normals, (1, 3)).T),
-        vertex_uvs=np.ascontiguousarray(cat(vertex_uvs, (1, 2)).T),
-        mesh_node_min=np.ascontiguousarray(cat(node_min, (1, 3)).T),
-        mesh_node_max=np.ascontiguousarray(cat(node_max, (1, 3)).T),
-        mesh_node_a=cat(node_a, (1,), np.int32),
-        mesh_node_b=cat(node_b, (1,), np.int32),
+        face_positions=np.ascontiguousarray(faces_cat.transpose(1, 2, 0)),
+        face_vertices=np.ascontiguousarray(fverts_cat.T),
+        vertex_normals=np.ascontiguousarray(vn_cat.T),
+        vertex_uvs=np.ascontiguousarray(vu_cat.T),
+        mesh_node_min=np.ascontiguousarray(nmin_cat.T),
+        mesh_node_max=np.ascontiguousarray(nmax_cat.T),
+        mesh_node_a=na_cat,
+        mesh_node_b=nb_cat,
     )
 
 
@@ -508,6 +593,19 @@ def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None):
         mesh = entity.mesh
         if id(mesh) in mesh_tables:
             continue
+        # Memoize the object-space tables PER MESH: they depend only on
+        # the mesh geometry, but this function runs on every
+        # shapes-dirty compile (any material/transform/entity edit).
+        # Without the memo each edit re-paid the SBVH + DP collapse
+        # (~1.5 s for a 41k-tri mesh, tools/measure_editor.py); with it
+        # only genuinely new/changed geometry builds.
+        key = (width, leaf_max, id(mesh.positions), id(mesh.faces),
+               len(mesh.faces))
+        cached = getattr(mesh, '_wide_table_cache', None)
+        if cached is not None and cached[0] == key:
+            mesh_tables[id(mesh)] = cached[1]
+            order.append(id(mesh))
+            continue
         faces = np.asarray(mesh.faces)
         tri = np.asarray(mesh.positions, np.float32)[faces]
         nrm = np.asarray(mesh.normals, np.float32)[faces]
@@ -516,11 +614,17 @@ def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None):
         wide = bvh8.build_wide_bvh(tri, nrm, uv, shp, spatial=True,
                                    width=width, leaf_max=leaf_max)
         mesh_tables[id(mesh)] = bvh8.pack_wide_geom(wide, tri, nrm, uv, shp)
+        mesh._wide_table_cache = (key, mesh_tables[id(mesh)])
         order.append(id(mesh))
 
     tlas = _pack_tlas_rows([b[0] for b in inst_bounds],
                            [b[1] for b in inst_bounds], width=width)
-    t_rows = len(tlas)
+    # Bucket-pad the TLAS region (all-zero rows: meta 0 = no child,
+    # never visited) so layout.tlas_rows -- a static of the kernel
+    # program -- survives instance add/delete within the bucket.
+    t_rows = _bucket(len(tlas), lo=8)
+    tlas = np.concatenate(
+        [tlas, np.zeros((t_rows - len(tlas), 128), np.float32)])
 
     node_parts, tri_parts, attr_parts, fmap_parts = [], [], [], []
     node_base, row_base = {}, {}
@@ -552,8 +656,13 @@ def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None):
             f'{bvh8.LEAF_ROW_LIMIT}-row leaf encoding '
             f'(~{bvh8.LEAF_ROW_LIMIT * 8 / 1e6:.0f}M triangles)')
 
-    inst_rows = np.zeros((len(instances), 128), np.float32)
-    inst_aux = np.zeros((len(instances), 16), np.float32)
+    # Instance rows bucket: 1 stays exact (resolve_inst_attributes'
+    # single-instance broadcast special case must keep firing for the
+    # flagship single-mesh scenes), otherwise _bucket. Padded rows are
+    # all-zero and unreachable (TLAS leaves only tag real instances).
+    i_slots = 1 if len(instances) == 1 else _bucket(len(instances))
+    inst_rows = np.zeros((i_slots, 128), np.float32)
+    inst_aux = np.zeros((i_slots, 16), np.float32)
     for i, (shape_index, entity, _world, inv_world) in enumerate(instances):
         inst_rows[i, 0:12] = inv_world[:3, :4].reshape(12)
         inst_rows[i, 12] = np.float32(node_base[id(entity.mesh)])
@@ -572,11 +681,24 @@ def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None):
     fmap_cat = np.concatenate(
         fmap_parts + [np.full(pad * 8, -1, np.int32)]
         if pad else fmap_parts).astype(np.int32)
+    nodes_cat = np.concatenate([tlas] + node_parts).astype(np.float32)
+
+    # Bucket-pad node and geometry rows (_bucket_rows) with inert zero
+    # rows: small mesh edits keep the kernel-program cache key stable.
+    def pad_rows(a, target, fill=0):
+        extra = target - len(a)
+        if extra <= 0:
+            return a
+        return np.concatenate(
+            [a, np.full((extra,) + a.shape[1:], fill, a.dtype)])
+
+    n_rows = _bucket_rows(len(nodes_cat))
+    r_rows = _bucket_rows(len(tris_cat))
     return dict(
-        inst_nodes=np.concatenate([tlas] + node_parts).astype(np.float32),
-        inst_tris=tris_cat,
-        inst_attrs=attrs_cat,
-        inst_face_map=fmap_cat,
+        inst_nodes=pad_rows(nodes_cat, n_rows),
+        inst_tris=pad_rows(tris_cat, r_rows),
+        inst_attrs=pad_rows(attrs_cat, r_rows * 8),
+        inst_face_map=pad_rows(fmap_cat, r_rows * 8, fill=-1),
         inst_rows=inst_rows,
         inst_aux=inst_aux,
     ), t_rows
@@ -859,24 +981,54 @@ def _compile_scene(scene, prev, aspect_ratio, spectrum_table, dirty):
             bounds_hi.append(hi)
 
         s = len(shape_type)
-        if s:
-            out.update(
-                shape_type=jnp.asarray(shape_type, jnp.int32),
-                shape_material=jnp.asarray(shape_material, jnp.int32),
-                shape_mesh_root=jnp.asarray(shape_mesh_root, jnp.int32),
-                shape_world_from_object=jnp.asarray(
-                    np.stack(world_from_object, axis=-1)),
-                shape_object_from_world=jnp.asarray(
-                    np.stack(object_from_world, axis=-1)),
-            )
-        else:
-            out.update(
-                shape_type=jnp.zeros(1, jnp.int32),
-                shape_material=jnp.zeros(1, jnp.int32),
-                shape_mesh_root=jnp.zeros(1, jnp.int32),
-                shape_world_from_object=jnp.eye(4)[:, :, None],
-                shape_object_from_world=jnp.eye(4)[:, :, None],
-            )
+        # Bucket-pad the shape tables (see _bucket): padded slots are
+        # SHAPE_TYPE_NONE with identity transforms, never referenced.
+        eye = np.eye(4, dtype=np.float32)
+        for _ in range(_bucket(s) - s):
+            shape_type.append(SHAPE_TYPE_NONE)
+            shape_material.append(0)
+            shape_mesh_root.append(0)
+            world_from_object.append(eye)
+            object_from_world.append(eye)
+        out.update(
+            shape_type=jnp.asarray(shape_type, jnp.int32),
+            shape_material=jnp.asarray(shape_material, jnp.int32),
+            shape_mesh_root=jnp.asarray(shape_mesh_root, jnp.int32),
+            shape_world_from_object=jnp.asarray(
+                np.stack(world_from_object, axis=-1)),
+            shape_object_from_world=jnp.asarray(
+                np.stack(object_from_world, axis=-1)),
+        )
+
+        # Analytic groups: bucket-padded traced index arrays per type.
+        by_type = {}
+        for i, t in enumerate(shape_type[:s]):
+            if t != SHAPE_TYPE_MESH_INSTANCE and t != SHAPE_TYPE_NONE:
+                by_type.setdefault(int(t), []).append(i)
+        a_idx, a_valid = {}, {}
+        for t, idxs in sorted(by_type.items()):
+            k_pad = _bucket(len(idxs))
+            arr = np.zeros(k_pad, np.int32)
+            arr[:len(idxs)] = idxs
+            val = np.zeros(k_pad, np.float32)
+            val[:len(idxs)] = 1.0
+            a_idx[t] = jnp.asarray(arr)
+            a_valid[t] = jnp.asarray(val)
+        out['analytic_idx'] = a_idx
+        out['analytic_valid'] = a_valid
+
+        # Portable-path instance table (see PackedScene docstring).
+        i_real = len(instances)
+        i_slots = (0 if i_real == 0
+                   else 1 if i_real == 1 else _bucket(i_real))
+        deg = int(scene.packed_degenerate_root)
+        pi_shape = np.zeros(max(i_slots, 1), np.int32)
+        pi_root = np.full(max(i_slots, 1), deg, np.int32)
+        for k, (si, entity, _w, _iw) in enumerate(instances):
+            pi_shape[k] = si
+            pi_root[k] = int(entity.mesh.packed_root_node_index)
+        out['portable_inst_shape'] = jnp.asarray(pi_shape)
+        out['portable_inst_root'] = jnp.asarray(pi_root)
 
         if bounds_lo:
             lo = np.min(np.stack(bounds_lo), axis=0)
@@ -913,11 +1065,29 @@ def _compile_scene(scene, prev, aspect_ratio, spectrum_table, dirty):
                 out[k] = jnp.zeros(shape, jnp.float32)
             out['inst_face_map'] = jnp.full(8, -1, jnp.int32)
         scene.packet_mode = packet_mode
-        out['wide_nodes'] = jnp.asarray(wide.nodes)
-        out['wide_tris'] = jnp.asarray(wide.tris)
+
+        def _pad_rows(a, target, fill=0):
+            extra = target - len(a)
+            if extra <= 0:
+                return a
+            return np.concatenate(
+                [a, np.full((extra,) + a.shape[1:], fill, a.dtype)])
+
+        out['wide_nodes'] = jnp.asarray(
+            _pad_rows(wide.nodes, _bucket_rows(len(wide.nodes))))
+        out['wide_tris'] = jnp.asarray(
+            _pad_rows(wide.tris, _bucket_rows(len(wide.tris))))
         if world_tris is not None:
             nodes_g, tris_g, attrs, face_map_g = bvh8.pack_wide_geom(
                 wide, *world_tris)
+            # Same row bucketing as the v6 tables: inert zero rows keep
+            # the kernel-program cache key stable under mesh edits.
+            wg = _bucket_rows(len(nodes_g))
+            rg = _bucket_rows(len(tris_g))
+            nodes_g = _pad_rows(nodes_g, wg)
+            tris_g = _pad_rows(tris_g, rg)
+            attrs = _pad_rows(attrs, rg * 8)
+            face_map_g = _pad_rows(face_map_g, rg * 8, fill=-1)
         else:
             nodes_g = wide.nodes
             tris_g = np.zeros((1, 128), np.float32)
@@ -964,6 +1134,14 @@ def _compile_scene(scene, prev, aspect_ratio, spectrum_table, dirty):
             cameras.append(dict(model=CAMERA_MODEL_PINHOLE, focal_length=0.0,
                                 aperture=0.0, sensor_distance=1.0,
                                 sensor_size=(2.0, 1.0), world=np.eye(4, dtype=np.float32)))
+        # Bucket-pad the camera dimension (see _bucket): padded rows
+        # are plain defaults, selectable only by an out-of-range
+        # camera_index no caller produces.
+        while len(cameras) < _bucket(len(cameras)):
+            cameras.append(dict(model=CAMERA_MODEL_PINHOLE, focal_length=0.0,
+                                aperture=0.0, sensor_distance=1.0,
+                                sensor_size=(2.0, 1.0),
+                                world=np.eye(4, dtype=np.float32)))
         out.update(
             camera_model=jnp.asarray([c['model'] for c in cameras], jnp.int32),
             camera_focal_length=jnp.asarray([c['focal_length'] for c in cameras], jnp.float32),

@@ -1,0 +1,152 @@
+"""Editor program stability: small edits must reuse compiled programs.
+
+The jit cache key covers every packed array SHAPE plus the static
+SceneLayout, so compile.py bucket-pads the variable table dimensions
+(shapes, analytic groups, materials, cameras) and intersect_analytic
+keeps shape indices TRACED. Before this, adding one entity retraced the
+fused render program through the compile relay: 23-95 s per edit on
+hardware (tools/measure_editor.py).
+"""
+
+import numpy as np
+
+from path_tracer_tpu import RenderConfig, SceneLayout, compile_scene
+from path_tracer_tpu.core.constants import (
+    MATERIAL_TYPE_BASIC_DIFFUSE, MATERIAL_TYPE_BASIC_METAL)
+from path_tracer_tpu.integrator import wavefront
+from path_tracer_tpu.ops.intersect import trace
+from path_tracer_tpu.scene.model import (
+    ENTITY_TYPE_CAMERA, ENTITY_TYPE_SPHERE, SCENE_DIRTY_MATERIALS,
+    SCENE_DIRTY_SHAPES, Scene, Transform)
+
+import jax.numpy as jnp
+
+
+def _scene():
+    scene = Scene()
+    mat = scene.create_material(MATERIAL_TYPE_BASIC_DIFFUSE, name='m',
+                                base_color=np.asarray([0.5, 0.5, 0.5]))
+    scene.create_entity(ENTITY_TYPE_SPHERE, material=mat,
+                        transform=Transform(position=[0.0, 3.0, 0.0]))
+    scene.create_entity(ENTITY_TYPE_CAMERA,
+                        transform=Transform(position=[0.0, 0.0, 0.0]))
+    return scene, mat
+
+
+def _cache_sizes():
+    return (wavefront._render_jit._cache_size(),
+            wavefront._reset_jit._cache_size())
+
+
+def test_entity_add_within_bucket_reuses_programs():
+    scene, mat = _scene()
+    packed = compile_scene(scene)
+    layout = packed.host_layout
+    config = RenderConfig(width=32, height=16)
+    wavefront.render(packed, config, 2, seed=0, layout=layout)
+    before = _cache_sizes()
+
+    # Second sphere: same analytic bucket (4), same padded table dims.
+    scene.create_entity(ENTITY_TYPE_SPHERE, material=mat,
+                        transform=Transform(position=[1.2, 3.0, 0.0]))
+    scene.mark_dirty(SCENE_DIRTY_SHAPES)
+    packed2 = compile_scene(scene, prev=packed)
+    layout2 = packed2.host_layout
+    assert layout2 == layout
+
+    wavefront.render(packed2, config, 2, seed=1, layout=layout2)
+    assert _cache_sizes() == before, 'entity add recompiled a program'
+
+    # The new sphere is really there: rays aimed at it hit shape 1.
+    n = 64
+    o = jnp.zeros((3, n), jnp.float32)
+    d = jnp.broadcast_to(
+        jnp.asarray([[1.2], [3.0], [0.0]], jnp.float32)
+        / np.sqrt(1.2 ** 2 + 3.0 ** 2), (3, n))
+    hit = trace(packed2, layout2, o, d, use_packet=False)
+    assert int((np.asarray(hit['shape']) == 1).sum()) == n
+
+
+def test_material_add_within_bucket_reuses_programs():
+    scene, _ = _scene()
+    packed = compile_scene(scene)
+    layout = packed.host_layout
+    config = RenderConfig(width=32, height=16)
+    wavefront.render(packed, config, 2, seed=0, layout=layout)
+    before = _cache_sizes()
+
+    # 1 fallback + 1 real material -> bucket 4: one more diffuse
+    # material keeps every column shape (a new TYPE would legitimately
+    # change the layout's static material set).
+    scene.create_material(MATERIAL_TYPE_BASIC_DIFFUSE, name='m2',
+                          base_color=np.asarray([0.8, 0.2, 0.2]))
+    scene.mark_dirty(SCENE_DIRTY_MATERIALS)
+    packed2 = compile_scene(scene, prev=packed)
+    layout2 = packed2.host_layout
+    assert layout2 == layout
+    wavefront.render(packed2, config, 2, seed=1, layout=layout2)
+    assert _cache_sizes() == before, 'material add recompiled a program'
+
+
+def test_instance_add_within_bucket_reuses_programs():
+    """Mesh-instance adds reuse programs too: the portable path reads
+    the traced instance table, the v6 tables bucket their TLAS/node/
+    geometry rows, and instance_slots is the only static."""
+    from path_tracer_tpu.scene.model import ENTITY_TYPE_MESH_INSTANCE
+    from path_tracer_tpu.scene.procedural import heightfield
+
+    scene = Scene()
+    pos, nrm, uv, faces = heightfield(8, size=4.0, amplitude=0.5)
+    mesh = scene.create_mesh(name='hf', positions=pos, normals=nrm,
+                             uvs=uv, faces=faces)
+    mat = scene.create_material(MATERIAL_TYPE_BASIC_DIFFUSE, name='g',
+                                base_color=np.asarray([0.5, 0.5, 0.5]))
+    for k in range(2):
+        scene.create_entity(ENTITY_TYPE_MESH_INSTANCE, mesh=mesh,
+                            material=mat,
+                            transform=Transform(position=[3.0 * k, 0, 0]))
+    scene.create_entity(ENTITY_TYPE_CAMERA,
+                        transform=Transform(position=[0.0, -6.0, 3.0]))
+    packed = compile_scene(scene)
+    layout = packed.host_layout
+    assert layout.instance_slots == 4  # 2 instances bucket to 4
+    config = RenderConfig(width=32, height=16)
+    wavefront.render(packed, config, 2, seed=0, layout=layout)
+    before = _cache_sizes()
+
+    # Third instance of the same mesh: same bucket, same padded tables
+    # (TLAS bucket 8, mesh rows unchanged, inst_rows bucket 4).
+    scene.create_entity(ENTITY_TYPE_MESH_INSTANCE, mesh=mesh, material=mat,
+                        transform=Transform(position=[-3.0, 0, 0]))
+    scene.mark_dirty(SCENE_DIRTY_SHAPES)
+    packed2 = compile_scene(scene, prev=packed)
+    layout2 = packed2.host_layout
+    assert layout2 == layout
+    for a, b in ((packed.inst_nodes, packed2.inst_nodes),
+                 (packed.inst_tris, packed2.inst_tris),
+                 (packed.portable_inst_root, packed2.portable_inst_root)):
+        assert a.shape == b.shape
+    wavefront.render(packed2, config, 2, seed=1, layout=layout2)
+    assert _cache_sizes() == before, 'instance add recompiled a program'
+
+    # The third instance really traces: rays straight down over it hit.
+    n = 32
+    o = jnp.stack([jnp.full(n, -3.0), jnp.zeros(n), jnp.full(n, 5.0)])
+    d = jnp.broadcast_to(jnp.asarray([[0.0], [0.0], [-1.0]]), (3, n))
+    hit = trace(packed2, layout2, o, d, use_packet=False)
+    assert int((np.asarray(hit['shape']) >= 0).sum()) == n
+
+
+def test_bucket_boundary_changes_layout():
+    """Crossing a bucket boundary legitimately retraces: 5 spheres pad
+    to 8. Guards that the bucketing is actually bounded (no silent
+    always-equal layouts)."""
+    scene, mat = _scene()
+    packed = compile_scene(scene)
+    for k in range(4):
+        scene.create_entity(ENTITY_TYPE_SPHERE, material=mat,
+                            transform=Transform(position=[k, 5.0, 0.0]))
+    scene.mark_dirty(SCENE_DIRTY_SHAPES)
+    packed2 = compile_scene(scene, prev=packed)
+    assert packed2.host_layout != packed.host_layout
+    assert packed2.host_layout.analytic_buckets == ((2, 8),)

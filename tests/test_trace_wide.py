@@ -165,7 +165,7 @@ def test_packet_matches_portable_end_to_end():
     scene = _small_multi_instance_scene()
     packed = compile_scene(scene, aspect_ratio=2.0)
     layout = SceneLayout.from_packed(packed)
-    assert len(layout.mesh_instances) >= 2
+    assert layout.instance_slots >= 2
 
     rng = np.random.default_rng(7)
     n = 1024

@@ -1,0 +1,100 @@
+"""Editor reaction time on real hardware: edit -> next-frame latency.
+
+The reference's editor repacks only dirty sections per edit and shows
+the first new pixel immediately (scene.cpp:1115-1621). This measures
+the same loop here through app.Session on the TPU: for each edit class,
+wall time from the mutation to the next resolved frame in host memory
+(incremental recompile + accumulation restart + 2 rounds + resolve +
+readback).
+
+Edit classes, by expected cost:
+  steady frame      no edit: 1 round + resolve
+  camera move       dirty cameras: repack camera row, restart
+  material value    dirty materials: repack material columns, restart
+  move instance     dirty shapes: TLAS + instance rows rebuild (mesh
+                    tables reused), restart
+  add entity        shape-set change: SceneLayout changes -> the fused
+                    round program RETRACES (XLA compile via the relay)
+  add 2nd entity    same layout shape class again -> compiled program
+                    cache hit
+
+Runtime rules: memory/tpu-runtime-rules (one process, readback to time).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
+
+import numpy as np
+
+from path_tracer_tpu.app import Session
+from path_tracer_tpu.scene.model import (
+    ENTITY_TYPE_MESH_INSTANCE, ENTITY_TYPE_SPHERE, SCENE_DIRTY_MATERIALS,
+    SCENE_DIRTY_SHAPES, Transform)
+from path_tracer_tpu.scene.procedural import make_viking_hall_scene
+
+
+def frame_ms(session, label, rounds=None):
+    t0 = time.time()
+    img = np.asarray(session.frame(rounds=rounds))
+    dt = (time.time() - t0) * 1e3
+    print(f'  {label:28s} {dt:9.1f} ms   (mean {img.mean():.4f})',
+          flush=True)
+    return dt
+
+
+def main():
+    scene = make_viking_hall_scene(detail=1)
+    t0 = time.time()
+    session = Session(scene, width=960, height=540)
+    np.asarray(session.frame())  # session establishment + first compile
+    print(f'# cold start (compile + first frame): {time.time()-t0:.1f}s',
+        flush=True)
+    for _ in range(3):
+        session.frame()
+    np.asarray(session.frame())
+
+    print('# steady frames (no edit):')
+    for _ in range(3):
+        frame_ms(session, 'steady frame')
+
+    print('# camera move:')
+    for _ in range(2):
+        session.move_camera(delta=(0.05, 0, 0))
+        frame_ms(session, 'camera move -> frame')
+
+    print('# material value edit:')
+    wood = next(m for m in scene.materials if m.name == 'wood')
+    for i in range(2):
+        wood.base_color = np.asarray([0.6, 0.4 + 0.1 * i, 0.3])
+        scene.mark_dirty(SCENE_DIRTY_MATERIALS)
+        frame_ms(session, 'material edit -> frame')
+
+    print('# move a mesh instance (TLAS rebuild, mesh tables reused):')
+    inst = [e for e in scene.walk_entities()
+            if e.type == ENTITY_TYPE_MESH_INSTANCE][0]
+    for i in range(2):
+        inst.transform.position = inst.transform.position + 0.01
+        scene.mark_dirty(SCENE_DIRTY_SHAPES)
+        frame_ms(session, 'instance move -> frame')
+
+    print('# add an entity (shape set changes -> program retrace):')
+    mat = wood
+    scene.create_entity(ENTITY_TYPE_SPHERE, material=mat,
+                        transform=Transform(position=[0.5, -1.0, 1.0],
+                                            scale=0.3))
+    scene.mark_dirty(SCENE_DIRTY_SHAPES)
+    frame_ms(session, 'add sphere -> frame')
+    print('# add a second sphere (same program shape class):')
+    scene.create_entity(ENTITY_TYPE_SPHERE, material=mat,
+                        transform=Transform(position=[-0.5, -1.0, 1.0],
+                                            scale=0.3))
+    scene.mark_dirty(SCENE_DIRTY_SHAPES)
+    frame_ms(session, 'add 2nd sphere -> frame')
+
+
+if __name__ == '__main__':
+    main()
