@@ -18,6 +18,23 @@ Edit classes, by expected cost:
   add 2nd entity    same layout shape class again -> compiled program
                     cache hit
 
+MEASURED 2026-08-18 (v5e, viking hall 41k tris at 960x540), before ->
+after the program-stability work (bucket-padded tables + traced
+analytic/instance indices + per-mesh wide-table memo + 1-round restart
+calls, commit f0e3b1a):
+
+    steady frame                  321 ms  ->   302-324 ms
+    camera move -> frame       18 033 ms  ->   384-543 ms  (first-edit
+                      rounds=2 retrace eliminated; now warm dispatch)
+    material edit -> frame      1 033 ms  ->   551-649 ms
+    instance move -> frame      1 071 ms  ->   426-493 ms
+    add entity (new TYPE)      94 598 ms  ->    20 407 ms  (one
+                      legitimate retrace: the analytic type set is
+                      program structure; once per type per session)
+    add entity (same type)     22 711 ms  ->       452 ms  (program
+                      reuse -- 50x; tests/test_program_stability.py
+                      asserts the jit cache does not grow)
+
 Runtime rules: memory/tpu-runtime-rules (one process, readback to time).
 """
 
