@@ -31,12 +31,23 @@ class Session:
     """Progressive interactive render session over an editable scene."""
 
     def __init__(self, scene, width=960, height=540, camera_index=0,
-                 termination_probability=0.05):
+                 termination_probability=0.05, generic_programs=True):
         self.scene = scene
         self.width = width
         self.height = height
         self.camera_index = camera_index
         self.termination_probability = termination_probability
+        # Interactive sessions default to GENERIC programs: every
+        # analytic shape type and material model is compiled in up
+        # front (empty bucket groups; conservative scatter flags), so
+        # no entity/material edit can change the program structure and
+        # stall the editor on a relay recompile (measured 20 s for the
+        # first entity of a new type, tools/measure_editor.py). Batch
+        # renderers keep the faster specialized programs
+        # (generic_programs=False, or the render() path which never
+        # sets scene.compile_generic).
+        self.generic_programs = generic_programs
+        scene.compile_generic = generic_programs
         self.packed = None
         self.layout = None
         self.state = None
@@ -50,6 +61,7 @@ class Session:
         """Replace the scene document (the editor's New/Open), full
         recompile + restart."""
         self.scene = scene
+        scene.compile_generic = self.generic_programs
         self.packed = None
         self._recompile(full=True)
 

@@ -305,6 +305,25 @@ def build_layout_host(scene, packed):
         mat_types.add(int(entity.material.type) if entity.material is not None
                       else MATERIAL_TYPE_OPENPBR)
         index += 1
+    # Generic-programs mode (scene.compile_generic, set by interactive
+    # Sessions): every analytic shape type and material model is
+    # compiled in from the start (empty bucket groups / the full
+    # dispatch set) and the scatter-stage specialization flags are
+    # forced conservative, so NO edit short of a texture import can
+    # change the program structure -- the editor trades a modest
+    # per-round cost for never stalling on a relay recompile
+    # (tools/measure_editor.py: 20 s for the first entity of a new
+    # type under specialized programs).
+    generic = bool(getattr(scene, 'compile_generic', False))
+    if generic:
+        from ..core.constants import (
+            MATERIAL_TYPE_BASIC_DIFFUSE, MATERIAL_TYPE_BASIC_METAL,
+            MATERIAL_TYPE_BASIC_TRANSLUCENT, SHAPE_TYPE_CUBE,
+            SHAPE_TYPE_SPHERE)
+        for t in (SHAPE_TYPE_PLANE, SHAPE_TYPE_SPHERE, SHAPE_TYPE_CUBE):
+            by_type.setdefault(int(t), [])
+        mat_types |= {MATERIAL_TYPE_BASIC_DIFFUSE, MATERIAL_TYPE_BASIC_METAL,
+                      MATERIAL_TYPE_BASIC_TRANSLUCENT, MATERIAL_TYPE_OPENPBR}
     # Mirror compile.py's bucket padding exactly (one source of truth
     # for the pad function): static = (type, padded count) only.
     analytic = tuple(sorted(
@@ -347,16 +366,16 @@ def build_layout_host(scene, packed):
              if t.pixels is not None]),
         atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
         wide_face_slots=wide_slots,
-        has_opacity=any(getattr(m, 'opacity', 1.0) < 1.0
-                        for m in scene.materials),
+        has_opacity=generic or any(getattr(m, 'opacity', 1.0) < 1.0
+                                   for m in scene.materials),
         wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
                                               packed.wide_tris_g),
         material_types=tuple(sorted(mat_types)),
-        scene_has_medium=_types_have_medium(mat_types)
+        scene_has_medium=generic or _types_have_medium(mat_types)
         or float(scene.root.scatter_rate) > 0.0,
-        has_skybox_sampling=float(
+        has_skybox_sampling=generic or float(
             scene.root.skybox_sampling_probability) > 0.0,
-        has_transmissive=_types_have_medium(mat_types),
+        has_transmissive=generic or _types_have_medium(mat_types),
     )
 
 

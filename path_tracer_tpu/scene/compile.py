@@ -1005,6 +1005,13 @@ def _compile_scene(scene, prev, aspect_ratio, spectrum_table, dirty):
         for i, t in enumerate(shape_type[:s]):
             if t != SHAPE_TYPE_MESH_INSTANCE and t != SHAPE_TYPE_NONE:
                 by_type.setdefault(int(t), []).append(i)
+        if getattr(scene, 'compile_generic', False):
+            # Generic-programs mode (see build_layout_host): pre-bake
+            # empty bucket groups for every analytic type so adding
+            # the first plane/sphere/cube never changes the program.
+            from ..core.constants import SHAPE_TYPE_CUBE, SHAPE_TYPE_SPHERE
+            for t in (SHAPE_TYPE_PLANE, SHAPE_TYPE_SPHERE, SHAPE_TYPE_CUBE):
+                by_type.setdefault(int(t), [])
         a_idx, a_valid = {}, {}
         for t, idxs in sorted(by_type.items()):
             k_pad = _bucket(len(idxs))

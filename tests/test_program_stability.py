@@ -137,6 +137,44 @@ def test_instance_add_within_bucket_reuses_programs():
     assert int((np.asarray(hit['shape']) >= 0).sum()) == n
 
 
+def test_generic_session_never_retraces_on_new_type():
+    """Interactive Sessions compile GENERIC programs (all analytic
+    types + all material models + conservative scatter flags), so even
+    the first entity of a brand-new shape type reuses every program --
+    the editor never stalls on a relay recompile."""
+    from path_tracer_tpu.app import Session
+    from path_tracer_tpu.scene.model import ENTITY_TYPE_MESH_INSTANCE
+    from path_tracer_tpu.scene.procedural import heightfield
+
+    scene = Scene()
+    pos, nrm, uv, faces = heightfield(6, size=4.0, amplitude=0.5)
+    mesh = scene.create_mesh(name='hf', positions=pos, normals=nrm,
+                             uvs=uv, faces=faces)
+    mat = scene.create_material(MATERIAL_TYPE_BASIC_DIFFUSE, name='g',
+                                base_color=np.asarray([0.5, 0.5, 0.5]))
+    scene.create_entity(ENTITY_TYPE_MESH_INSTANCE, mesh=mesh, material=mat)
+    scene.create_entity(ENTITY_TYPE_CAMERA,
+                        transform=Transform(position=[0.0, -6.0, 3.0]))
+
+    session = Session(scene, width=48, height=24)
+    assert session.layout.analytic_buckets == ((1, 4), (2, 4), (3, 4))
+    assert session.layout.material_types == (0, 1, 2, 3)
+    np.asarray(session.frame())
+    before = _cache_sizes() + (wavefront._render_sorted_jit._cache_size(),)
+
+    # First sphere (and a new MATERIAL TYPE) of the session: no
+    # program structure change under generic mode.
+    metal = scene.create_material(MATERIAL_TYPE_BASIC_METAL, name='shine',
+                                  base_color=np.asarray([0.9, 0.8, 0.6]))
+    scene.create_entity(ENTITY_TYPE_SPHERE, material=metal,
+                        transform=Transform(position=[0.0, 0.0, 2.0]))
+    scene.mark_dirty(SCENE_DIRTY_SHAPES | SCENE_DIRTY_MATERIALS)
+    img = np.asarray(session.frame())
+    after = _cache_sizes() + (wavefront._render_sorted_jit._cache_size(),)
+    assert after == before, 'generic session recompiled a program'
+    assert np.isfinite(img).all()
+
+
 def test_bucket_boundary_changes_layout():
     """Crossing a bucket boundary legitimately retraces: 5 spheres pad
     to 8. Guards that the bucketing is actually bounded (no silent

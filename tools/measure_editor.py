@@ -18,22 +18,28 @@ Edit classes, by expected cost:
   add 2nd entity    same layout shape class again -> compiled program
                     cache hit
 
-MEASURED 2026-08-18 (v5e, viking hall 41k tris at 960x540), before ->
-after the program-stability work (bucket-padded tables + traced
-analytic/instance indices + per-mesh wide-table memo + 1-round restart
-calls, commit f0e3b1a):
+MEASURED 2026-08-18 (v5e, viking hall 41k tris at 960x540). Three
+states: (a) before the program-stability work, (b) bucket-padded
+tables + traced analytic/instance indices + per-mesh wide-table memo +
+1-round restart calls (commit f0e3b1a, Session(generic_programs=
+False)), (c) + GENERIC programs (the Session default: all analytic
+types and material models compiled in up front, so no edit can change
+program structure):
 
-    steady frame                  321 ms  ->   302-324 ms
-    camera move -> frame       18 033 ms  ->   384-543 ms  (first-edit
-                      rounds=2 retrace eliminated; now warm dispatch)
-    material edit -> frame      1 033 ms  ->   551-649 ms
-    instance move -> frame      1 071 ms  ->   426-493 ms
-    add entity (new TYPE)      94 598 ms  ->    20 407 ms  (one
-                      legitimate retrace: the analytic type set is
-                      program structure; once per type per session)
-    add entity (same type)     22 711 ms  ->       452 ms  (program
-                      reuse -- 50x; tests/test_program_stability.py
-                      asserts the jit cache does not grow)
+    edit class                 (a) before    (b) padded    (c) generic
+    steady frame                  321 ms      302-324 ms    311-412 ms
+    camera move -> frame       18 033 ms      384-543 ms    369-389 ms
+    material edit -> frame      1 033 ms      551-649 ms    480-491 ms
+    instance move -> frame      1 071 ms      426-493 ms    456-542 ms
+    add entity (new TYPE)      94 598 ms       20 407 ms        477 ms
+    add entity (same type)     22 711 ms          452 ms        474 ms
+
+Generic mode's structural-stall class is empty: the 20 s new-type
+retrace of (b) is gone, at a per-frame generality tax lost in the
+noise at 518k lanes. Cold start pays for the bigger generic program
+once (~105 s truly cold, then the persistent XLA cache holds it).
+tests/test_program_stability.py pins the no-recompile invariants of
+both modes.
 
 Runtime rules: memory/tpu-runtime-rules (one process, readback to time).
 """
