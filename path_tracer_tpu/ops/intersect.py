@@ -324,10 +324,12 @@ def build_layout_host(scene, packed):
             by_type.setdefault(int(t), [])
         mat_types |= {MATERIAL_TYPE_BASIC_DIFFUSE, MATERIAL_TYPE_BASIC_METAL,
                       MATERIAL_TYPE_BASIC_TRANSLUCENT, MATERIAL_TYPE_OPENPBR}
-    # Mirror compile.py's bucket padding exactly (one source of truth
-    # for the pad function): static = (type, padded count) only.
+    # Mirror compile.py's analytic group sizing exactly: bucket-padded
+    # under generic programs (editor stability), exact under
+    # specialized ones (padded slots cost real per-lane work).
     analytic = tuple(sorted(
-        (t, _bucket(len(idxs))) for t, idxs in by_type.items()))
+        (t, _bucket(len(idxs)) if generic else max(len(idxs), 1))
+        for t, idxs in by_type.items()))
     slots = 0 if i_real == 0 else 1 if i_real == 1 else _bucket(i_real)
 
     attr_fields = dict(

@@ -1005,7 +1005,8 @@ def _compile_scene(scene, prev, aspect_ratio, spectrum_table, dirty):
         for i, t in enumerate(shape_type[:s]):
             if t != SHAPE_TYPE_MESH_INSTANCE and t != SHAPE_TYPE_NONE:
                 by_type.setdefault(int(t), []).append(i)
-        if getattr(scene, 'compile_generic', False):
+        generic = bool(getattr(scene, 'compile_generic', False))
+        if generic:
             # Generic-programs mode (see build_layout_host): pre-bake
             # empty bucket groups for every analytic type so adding
             # the first plane/sphere/cube never changes the program.
@@ -1014,7 +1015,13 @@ def _compile_scene(scene, prev, aspect_ratio, spectrum_table, dirty):
                 by_type.setdefault(int(t), [])
         a_idx, a_valid = {}, {}
         for t, idxs in sorted(by_type.items()):
-            k_pad = _bucket(len(idxs))
+            # Padded analytic slots cost REAL per-lane work every round
+            # (the intersectors run on them; measured -22% on the
+            # analytic-bound Cornell bench), so only generic (editor)
+            # programs pay for the padding; specialized batch programs
+            # keep exact group sizes and accept the retrace on entity
+            # add/delete.
+            k_pad = _bucket(len(idxs)) if generic else max(len(idxs), 1)
             arr = np.zeros(k_pad, np.int32)
             arr[:len(idxs)] = idxs
             val = np.zeros(k_pad, np.float32)

@@ -39,7 +39,11 @@ def _cache_sizes():
 
 
 def test_entity_add_within_bucket_reuses_programs():
+    # Analytic groups are bucket-padded only under generic programs
+    # (padded slots cost real per-lane work; specialized batch
+    # programs keep exact group sizes -- see compile.py).
     scene, mat = _scene()
+    scene.compile_generic = True
     packed = compile_scene(scene)
     layout = packed.host_layout
     config = RenderConfig(width=32, height=16)
@@ -177,9 +181,10 @@ def test_generic_session_never_retraces_on_new_type():
 
 def test_bucket_boundary_changes_layout():
     """Crossing a bucket boundary legitimately retraces: 5 spheres pad
-    to 8. Guards that the bucketing is actually bounded (no silent
-    always-equal layouts)."""
+    to 8 under generic programs. Guards that the bucketing is actually
+    bounded (no silent always-equal layouts)."""
     scene, mat = _scene()
+    scene.compile_generic = True
     packed = compile_scene(scene)
     for k in range(4):
         scene.create_entity(ENTITY_TYPE_SPHERE, material=mat,
@@ -187,4 +192,11 @@ def test_bucket_boundary_changes_layout():
     scene.mark_dirty(SCENE_DIRTY_SHAPES)
     packed2 = compile_scene(scene, prev=packed)
     assert packed2.host_layout != packed.host_layout
-    assert packed2.host_layout.analytic_buckets == ((2, 8),)
+    assert dict(packed2.host_layout.analytic_buckets)[2] == 8
+
+    # Specialized (batch) programs keep EXACT analytic group sizes --
+    # no phantom per-lane intersection work on the bench configs.
+    scene.compile_generic = False
+    scene.mark_dirty(SCENE_DIRTY_SHAPES)
+    packed3 = compile_scene(scene, prev=packed2)
+    assert dict(packed3.host_layout.analytic_buckets)[2] == 5

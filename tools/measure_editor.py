@@ -41,6 +41,14 @@ once (~105 s truly cold, then the persistent XLA cache holds it).
 tests/test_program_stability.py pins the no-recompile invariants of
 both modes.
 
+NOTE on (b): that column was measured while analytic groups were
+bucket-padded in BOTH modes; the padding costs real per-lane
+intersection work (Cornell bench -22%), so specialized programs went
+back to exact analytic group sizes afterwards -- under today's
+specialized mode an entity add retraces like (a)'s last two rows, and
+table padding still covers material/camera/value edits. The editor
+answer is generic mode (the Session default), column (c).
+
 Runtime rules: memory/tpu-runtime-rules (one process, readback to time).
 """
 
