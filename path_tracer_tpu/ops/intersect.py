@@ -344,7 +344,14 @@ def build_layout_host(scene, packed):
         for attr, fields in attr_fields.items():
             if any(getattr(material, f, None) is not None for f in fields):
                 textured_set.add(attr)
-    textured = bool(textured_set)
+    if generic:
+        # Generic programs also compile every texturable attribute tap
+        # and both filter paths, so ASSIGNING a texture to a material
+        # never changes program structure (per-lane NONE indices are
+        # masked inside sample_texture). Importing a texture can still
+        # retrace if the atlas dimensions change.
+        textured_set = set(attr_fields)
+    textured = bool(textured_set) or generic
     from . import trace_inst
     packet_mode = getattr(scene, 'packet_mode', 'flat')
     tlas_rows = getattr(scene, 'packet_tlas_rows', 0)
@@ -363,7 +370,7 @@ def build_layout_host(scene, packed):
         materials_textured=textured,
         textured_attrs=tuple(sorted(textured_set)),
         atlas_size=_host_atlas_size(scene),
-        texture_filter_modes=_filter_modes(
+        texture_filter_modes=(True, True) if generic else _filter_modes(
             [t.enable_nearest_filtering for t in scene.textures
              if t.pixels is not None]),
         atlas_quad_fit=packed.atlas_quad.shape[0] > 1,

@@ -178,6 +178,25 @@ def test_generic_session_never_retraces_on_new_type():
     assert after == before, 'generic session recompiled a program'
     assert np.isfinite(img).all()
 
+    # Assigning a texture to a material (no atlas repack) is also
+    # structure-free: generic programs compile every attribute tap.
+    from path_tracer_tpu.core.constants import (
+        TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA)
+    checker = np.indices((8, 8)).sum(0) % 2
+    pixels = np.stack([checker, 1 - checker, checker, np.ones((8, 8))],
+                      axis=-1).astype(np.float32)
+    tex = scene.create_texture(name='check',
+                               type=TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA,
+                               pixels=pixels)
+    session.frame()  # atlas shape change MAY retrace; not asserted
+    mid = _cache_sizes() + (wavefront._render_sorted_jit._cache_size(),)
+    mat.base_texture = tex
+    scene.mark_dirty(SCENE_DIRTY_MATERIALS)
+    img = np.asarray(session.frame())
+    final = _cache_sizes() + (wavefront._render_sorted_jit._cache_size(),)
+    assert final == mid, 'texture assignment recompiled a program'
+    assert np.isfinite(img).all()
+
 
 def test_bucket_boundary_changes_layout():
     """Crossing a bucket boundary legitimately retraces: 5 spheres pad
