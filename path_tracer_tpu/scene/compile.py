@@ -576,7 +576,101 @@ def _pack_tlas_rows(bounds_min, bounds_max, width=None):
     return rows
 
 
-def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None):
+def _order_streamed_leaf_rows(nodes_cat, tris_cat, attrs_cat, fmap_cat,
+                              parts, cam_pos, width, meta_lane):
+    """Reorder concatenated leaf geometry rows by expected access rate.
+
+    Scenes beyond the VMEM table budget keep a resident prefix of the
+    leaf rows and stream the rest from HBM per pop
+    (ops/trace_inst.py residency_split). Rows arrive here in wide-node
+    BFS order, which puts TOP-OF-TREE leaves in the prefix -- but pop
+    frequency under a camera is dominated by solid angle, not depth.
+    This pass sorts whole leaves (their rows stay contiguous,
+    multi-row-leaf DMAs are row0/row0+1) by
+
+        sum over instances of  world_area(leaf AABB) / dist(cam)^2
+
+    a projected-solid-angle proxy for how many rays reach the leaf, so
+    the resident prefix holds the hottest geometry. Results are
+    traversal-order-invariant (same triangles per leaf, metas rewritten
+    to the new rows); only the streaming miss rate changes. The
+    ordering uses the camera position at shapes-compile time -- later
+    camera-only edits leave it stale, which is a performance heuristic
+    going cold, never a correctness issue.
+
+    Measured on the bench terrain (config 6, 1.8M tris, 2.3x VMEM
+    oversubscription): NEUTRAL end-to-end (3.86 vs 3.84 Mrays/s) -- on
+    a wide-open terrain the leaf count grows ~d^2 while importance
+    decays 1/d^2, so access mass is spread nearly uniformly and no
+    prefix choice wins. Kept because it is traversal-invariant, costs
+    ~0.3 s once per shapes compile of a streamed scene, and
+    view-concentrated large scenes (interiors, city blocks seen down a
+    street) are exactly where a camera-weighted prefix should beat BFS
+    order.
+
+    parts: [(node_lo, node_hi, [world 3x4...])] per concatenated mesh.
+    Returns (nodes_cat, tris_cat, attrs_cat, fmap_cat) reordered.
+    """
+    from . import bvh8
+
+    limit = bvh8.LEAF_ROW_LIMIT
+    metas = nodes_cat[:, meta_lane:meta_lane + width]
+    widx, slot = np.nonzero(metas < 0)
+    if widx.size == 0:
+        return nodes_cat, tris_cat, attrs_cat, fmap_cat
+    u = (-metas[widx, slot]).astype(np.int64)
+    row0 = u % limit
+    cnt = u // limit
+    nrows = -(-cnt // 8)
+
+    lo = np.stack([nodes_cat[widx, a * width + slot] for a in range(3)], -1)
+    hi = np.stack([nodes_cat[widx, (3 + a) * width + slot]
+                   for a in range(3)], -1)
+    center = 0.5 * (lo + hi)
+    half = np.maximum(0.5 * (hi - lo), 0.0)
+    cam = np.asarray(cam_pos, np.float64)
+    imp = np.zeros(widx.size, np.float64)
+    for node_lo, node_hi, worlds in parts:
+        sel = (widx >= node_lo) & (widx < node_hi)
+        if not sel.any():
+            continue
+        c, h = center[sel], half[sel]
+        for world in worlds:
+            r, t = world[:3, :3], world[:3, 3]
+            cw = c @ r.T + t
+            hw = np.abs(h) @ np.abs(r).T     # conservative world extents
+            area = 2.0 * (hw[:, 0] * hw[:, 1] + hw[:, 1] * hw[:, 2]
+                          + hw[:, 2] * hw[:, 0]) + 1e-12
+            d2 = np.maximum(np.sum((cw - cam) ** 2, axis=-1), 1e-2)
+            imp[sel] += area / d2
+
+    order = np.argsort(-imp, kind='stable')
+    o_n = nrows[order]
+    o_starts = np.concatenate([[0], np.cumsum(o_n)[:-1]])
+    # Old rows of each leaf, walked in the new order.
+    src_rows = (np.repeat(row0[order], o_n)
+                + np.arange(int(o_n.sum()))
+                - np.repeat(o_starts, o_n))
+    claimed = np.zeros(len(tris_cat), bool)
+    claimed[src_rows] = True
+    src_of_new = np.concatenate([src_rows, np.nonzero(~claimed)[0]])
+    assert len(src_of_new) == len(tris_cat)
+
+    tris_new = tris_cat[src_of_new]
+    attrs_new = attrs_cat.reshape(len(tris_cat), 8, -1)[src_of_new]
+    attrs_new = attrs_new.reshape(-1, attrs_cat.shape[1])
+    fmap_new = fmap_cat.reshape(len(tris_cat), 8)[src_of_new].reshape(-1)
+
+    new_row0 = np.empty(widx.size, np.int64)
+    new_row0[order] = o_starts
+    nodes_new = nodes_cat.copy()
+    nodes_new[widx, meta_lane + slot] = (
+        -(cnt * limit + new_row0)).astype(np.float32)
+    return nodes_new, tris_new, attrs_new, fmap_new
+
+
+def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None,
+                       cam_pos=None):
     """Two-level (v6) tables: per-unique-mesh object-space wide BVHs,
     rebased + concatenated behind the TLAS, plus per-instance rows.
 
@@ -628,6 +722,7 @@ def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None):
 
     node_parts, tri_parts, attr_parts, fmap_parts = [], [], [], []
     node_base, row_base = {}, {}
+    part_ranges = []
     nb, rb = 0, 0
     for key in order:
         ng, tg, at, fm = mesh_tables[key]
@@ -643,6 +738,7 @@ def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None):
         ng[:, meta_lane:meta_lane + width] = metas
         node_base[key] = t_rows + nb
         row_base[key] = rb
+        part_ranges.append((t_rows + nb, t_rows + nb + len(ng), key))
         nb += len(ng)
         rb += len(tg)
         node_parts.append(ng)
@@ -669,19 +765,39 @@ def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None):
         inst_aux[i, 0:9] = inv_world[:3, :3].reshape(9)
         inst_aux[i, 9] = np.float32(shape_index)
 
+    tris_cat = np.concatenate(tri_parts).astype(np.float32)
+    attrs_cat = np.concatenate(attr_parts).astype(np.float32)
+    fmap_cat = np.concatenate(fmap_parts).astype(np.int32)
+    nodes_cat = np.concatenate([tlas] + node_parts).astype(np.float32)
+
+    # Scenes that will stream leaf rows from HBM get their rows ordered
+    # by camera-projected importance so the resident prefix
+    # (ops/trace_inst.py residency_split) holds the hottest geometry.
+    from ..ops.trace_inst import VMEM_TABLE_LIMIT_BYTES
+    pad = leaf_max // 8 - 1
+    est_rows = (_bucket_rows(len(nodes_cat)) + _bucket_rows(
+        len(tris_cat) + pad) + max(len(instances), 1))
+    if cam_pos is not None and est_rows * 512 > VMEM_TABLE_LIMIT_BYTES:
+        worlds_by_mesh = {}
+        for _, entity, world, _ in instances:
+            worlds_by_mesh.setdefault(id(entity.mesh), []).append(
+                np.asarray(world, np.float64)[:3, :4])
+        parts = [(lo, hi, worlds_by_mesh.get(key, []))
+                 for lo, hi, key in part_ranges]
+        nodes_cat, tris_cat, attrs_cat, fmap_cat = (
+            _order_streamed_leaf_rows(nodes_cat, tris_cat, attrs_cat,
+                                      fmap_cat, parts, cam_pos, width,
+                                      meta_lane))
+
     # Trailing pad rows let the streaming kernel's fixed-size leaf DMA
     # (leaf_max/8 rows) read past the final leaf without overrunning.
-    pad = leaf_max // 8 - 1
-    tris_cat = np.concatenate(
-        tri_parts + [np.zeros((pad, 128), np.float32)]
-        if pad else tri_parts).astype(np.float32)
-    attrs_cat = np.concatenate(
-        attr_parts + [np.zeros((pad * 8, 16), np.float32)]
-        if pad else attr_parts).astype(np.float32)
-    fmap_cat = np.concatenate(
-        fmap_parts + [np.full(pad * 8, -1, np.int32)]
-        if pad else fmap_parts).astype(np.int32)
-    nodes_cat = np.concatenate([tlas] + node_parts).astype(np.float32)
+    if pad:
+        tris_cat = np.concatenate(
+            [tris_cat, np.zeros((pad, 128), np.float32)])
+        attrs_cat = np.concatenate(
+            [attrs_cat, np.zeros((pad * 8, 16), np.float32)])
+        fmap_cat = np.concatenate(
+            [fmap_cat, np.full(pad * 8, -1, np.int32)])
 
     # Bucket-pad node and geometry rows (_bucket_rows) with inert zero
     # rows: small mesh edits keep the kernel-program cache key stable.
@@ -1058,7 +1174,13 @@ def _compile_scene(scene, prev, aspect_ratio, spectrum_table, dirty):
             # v6 two-level tables; instance bounds in walk order.
             inst_bounds = [(bounds_lo[si], bounds_hi[si])
                            for si, _, _, _ in instances]
-            tables, t_rows = _build_inst_tables(instances, inst_bounds)
+            cam_pos = None
+            for entity, world in scene.walk_entities_with_transform():
+                if entity.type == ENTITY_TYPE_CAMERA:
+                    cam_pos = np.asarray(world, np.float32)[:3, 3]
+                    break
+            tables, t_rows = _build_inst_tables(instances, inst_bounds,
+                                                cam_pos=cam_pos)
             for k, v in tables.items():
                 out[k] = jnp.asarray(v)
             scene.packet_tlas_rows = t_rows

@@ -258,3 +258,61 @@ def test_pop_cull_equality():
         tlas_rows=layout.tlas_rows, interpret=True, pop_cull=True)
     for a, b in zip(base, cull):
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_streamed_leaf_row_ordering():
+    """Scenes that will stream leaf rows get them reordered by
+    camera-projected importance (compile.py _order_streamed_leaf_rows)
+    so the resident prefix holds the hottest geometry. The reorder must
+    be traversal-invariant: same winners, same hit t, face slots
+    remapped consistently through inst_face_map."""
+    import jax
+
+    scene, rng = _instanced_scene(6, seed=33)
+    packed_a = compile_mod.compile_scene(scene)
+    layout = SceneLayout.from_packed(packed_a)
+
+    scene_b, _ = _instanced_scene(6, seed=33)
+    orig = trace_inst.VMEM_TABLE_LIMIT_BYTES
+    try:
+        trace_inst.VMEM_TABLE_LIMIT_BYTES = 8 * 512
+        packed_b = compile_mod.compile_scene(scene_b)
+    finally:
+        trace_inst.VMEM_TABLE_LIMIT_BYTES = orig
+        jax.clear_caches()
+
+    tris_a = np.asarray(packed_a.inst_tris)
+    tris_b = np.asarray(packed_b.inst_tris)
+    assert tris_a.shape == tris_b.shape
+    assert not np.array_equal(tris_a, tris_b)          # really reordered
+    # Same geometry rows as a multiset (rows move, none change).
+    ka = np.sort(tris_a.sum(axis=1))
+    kb = np.sort(tris_b.sum(axis=1))
+    np.testing.assert_allclose(ka, kb, rtol=1e-6)
+    fa = np.sort(np.asarray(packed_a.inst_face_map))
+    fb = np.sort(np.asarray(packed_b.inst_face_map))
+    np.testing.assert_array_equal(fa, fb)
+
+    n = 1024
+    o = jnp.asarray(rng.uniform(-6, 6, (3, n)).astype(np.float32))
+    d = rng.normal(0, 1, (3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    d = jnp.asarray(d)
+    t_in = jnp.full((n,), 1e6, jnp.float32)
+
+    ta, face_a, *_ = (np.asarray(x) for x in trace_inst.inst_trace(
+        packed_a.inst_nodes, packed_a.inst_tris, packed_a.inst_rows,
+        o, d, t_in, tlas_rows=layout.tlas_rows, interpret=True))
+    tb, face_b, *_ = (np.asarray(x) for x in trace_inst.inst_trace(
+        packed_b.inst_nodes, packed_b.inst_tris, packed_b.inst_rows,
+        o, d, t_in, tlas_rows=layout.tlas_rows, interpret=True))
+    # Hit t identical up to leaf-visit order (exact-tie winners may
+    # differ on shared edges, like the portable-equality test).
+    same_t = ta == tb
+    assert same_t.mean() > 0.995
+    # Winning faces map to the same source face through each table's
+    # own face map.
+    ma = np.asarray(packed_a.inst_face_map)[np.where(face_a >= 0, face_a, 0)]
+    mb = np.asarray(packed_b.inst_face_map)[np.where(face_b >= 0, face_b, 0)]
+    hit = (face_a >= 0) & (face_b >= 0) & same_t
+    assert (ma[hit] == mb[hit]).mean() > 0.995
