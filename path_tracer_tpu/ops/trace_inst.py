@@ -525,6 +525,29 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
                     fv = opy + ft * dpy
                     ok = (fu >= 0.0) & (fv >= 0.0) & (fu + fv <= 1.0) \
                         & (ft >= 0.0) & (ft < t)
+                elif leaf_fmt == 'bary':
+                    # Plane + precomputed barycentric gradients
+                    # (scene/bvh8.py _bary_rows): lanes b..b+2 hold
+                    # n = e1 x e2, b+3 d0 = n.p0, b+4..b+7 gu | cu,
+                    # b+8..b+11 gv | cv with fu = gu.h + cu at the hit
+                    # point h = o + ft d. ~22% fewer vector issues than
+                    # Moller-Trumbore and only ~5 simultaneously-live
+                    # column broadcasts (woop's 12 live broadcasts were
+                    # its downfall). Padded/degenerate slots are
+                    # all-zero: ft = 0/0 = NaN fails every ordered
+                    # comparison, so no per-slot count test.
+                    nd = bc(b) * dx + bc(b + 1) * dy + bc(b + 2) * dz
+                    no = bc(b) * ox + bc(b + 1) * oy + bc(b + 2) * oz
+                    ft = (bc(b + 3) - no) / nd
+                    hx = ox + ft * dx
+                    hy = oy + ft * dy
+                    hz = oz + ft * dz
+                    fu = bc(b + 4) * hx + bc(b + 5) * hy \
+                        + bc(b + 6) * hz + bc(b + 7)
+                    fv = bc(b + 8) * hx + bc(b + 9) * hy \
+                        + bc(b + 10) * hz + bc(b + 11)
+                    ok = (fu >= 0.0) & (fv >= 0.0) & (fu + fv <= 1.0) \
+                        & (ft >= 0.0) & (ft < t)
                 else:
                     p0x, p0y, p0z = bc(b), bc(b + 1), bc(b + 2)
                     e1x, e1y, e1z = bc(b + 3), bc(b + 4), bc(b + 5)
@@ -659,11 +682,6 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         stats_ref[:, :] = jnp.where(ri == 0, vals, 0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('interpret', 'interleave', 'leaf_rows',
-                                    'tlas_rows', 'width', 'leaf_fmt',
-                                    'packet_rows', 'oct_order', 'pop_cull',
-                                    'stats'))
 def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                tlas_rows, interpret=False, interleave=INTERLEAVE,
                leaf_rows=LEAF_MAX // 8, width=8, leaf_fmt=None,
@@ -685,6 +703,13 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
 
     Returns (t, face, fu, fv, inst): face indexes the concatenated
     attribute side table; inst is the winning instance row (-1 miss).
+
+    None defaults for leaf_fmt/oct_order/pop_cull resolve from the
+    module globals HERE, outside the jit: the jitted inner keys its
+    cache on the RESOLVED values, so flipping a global (e.g.
+    bvh8.LEAF_FMT in an A/B harness) can never reuse a program
+    compiled for the other setting (a leaf_fmt=None static key once
+    served an 'mt'-compiled kernel to 'bary'-format tables).
     """
     if leaf_fmt is None:
         from ..scene.bvh8 import LEAF_FMT
@@ -693,6 +718,22 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
         oct_order = OCT_ORDER
     if pop_cull is None:
         pop_cull = POP_CULL
+    return _inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
+                       tlas_rows=tlas_rows, interpret=interpret,
+                       interleave=interleave, leaf_rows=leaf_rows,
+                       width=width, leaf_fmt=leaf_fmt,
+                       packet_rows=packet_rows, oct_order=oct_order,
+                       pop_cull=pop_cull, stats=stats)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'interleave', 'leaf_rows',
+                                    'tlas_rows', 'width', 'leaf_fmt',
+                                    'packet_rows', 'oct_order', 'pop_cull',
+                                    'stats'))
+def _inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
+                tlas_rows, interpret, interleave, leaf_rows, width,
+                leaf_fmt, packet_rows, oct_order, pop_cull, stats):
     split = residency_split(nodes.shape, tris_g.shape, inst_rows.shape)
     if split is None:
         raise ValueError('tables exceed the streamable VMEM budget')

@@ -244,6 +244,22 @@ def _kernel(nodes_hbm, tris_hbm,
                     fv = opy + ft * dpy
                     ok = (fu >= 0.0) & (fv >= 0.0) & (fu + fv <= 1.0) \
                         & (ft >= 0.0) & (ft < t)
+                elif leaf_fmt == 'bary':
+                    # Plane + barycentric-gradient rows (scene/bvh8.py
+                    # _bary_rows); padded slots auto-miss via NaN --
+                    # see ops/trace_inst.py leaf() for the derivation.
+                    nd = bc(b) * dx + bc(b + 1) * dy + bc(b + 2) * dz
+                    no = bc(b) * ox + bc(b + 1) * oy + bc(b + 2) * oz
+                    ft = (bc(b + 3) - no) / nd
+                    hx = ox + ft * dx
+                    hy = oy + ft * dy
+                    hz = oz + ft * dz
+                    fu = bc(b + 4) * hx + bc(b + 5) * hy \
+                        + bc(b + 6) * hz + bc(b + 7)
+                    fv = bc(b + 8) * hx + bc(b + 9) * hy \
+                        + bc(b + 10) * hz + bc(b + 11)
+                    ok = (fu >= 0.0) & (fv >= 0.0) & (fu + fv <= 1.0) \
+                        & (ft >= 0.0) & (ft < t)
                 else:
                     p0x, p0y, p0z = bc(b), bc(b + 1), bc(b + 2)
                     e1x, e1y, e1z = bc(b + 3), bc(b + 4), bc(b + 5)
@@ -322,9 +338,6 @@ def _kernel(nodes_hbm, tris_hbm,
         stats_ref[:, :] = jnp.where(ri == 0, vals, 0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('interpret', 'stats', 'interleave',
-                                    'leaf_rows', 'leaf_fmt'))
 def wide_trace5(nodes, tris_g, origin, direction, t_in,
                 interpret=False, stats=False, interleave=INTERLEAVE,
                 leaf_rows=LEAF_MAX // 8, leaf_fmt=None):
@@ -336,10 +349,25 @@ def wide_trace5(nodes, tris_g, origin, direction, t_in,
     barycentrics. Use resolve_wide_attributes for normals/uvs/shape.
     leaf_rows must be >= the max rows any leaf in `tris_g` spans
     (LEAF_MAX/8 for tables from the default build).
+
+    leaf_fmt=None resolves the bvh8.LEAF_FMT global HERE, outside the
+    jit, so the cache keys on the resolved format (see
+    trace_inst.inst_trace for the stale-program failure this avoids).
     """
     if leaf_fmt is None:
         from ..scene.bvh8 import LEAF_FMT
         leaf_fmt = LEAF_FMT
+    return _wide_trace5(nodes, tris_g, origin, direction, t_in,
+                        interpret=interpret, stats=stats,
+                        interleave=interleave, leaf_rows=leaf_rows,
+                        leaf_fmt=leaf_fmt)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'stats', 'interleave',
+                                    'leaf_rows', 'leaf_fmt'))
+def _wide_trace5(nodes, tris_g, origin, direction, t_in,
+                 interpret, stats, interleave, leaf_rows, leaf_fmt):
     n = origin.shape[1]
     group = interleave * PACKET_ROWS * 128
     n_pad = -n % group

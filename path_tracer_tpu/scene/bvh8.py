@@ -125,15 +125,30 @@ ATTR5_WIDTH = 16
 #           per-triangle count test disappears. u/v are the SAME
 #           barycentrics (e1/e2 coefficients) Moller-Trumbore yields.
 #
+#   'bary'  plane + barycentric gradients: lanes b..b+2 hold
+#           n = e1 x e2, b+3 d0 = n.p0, b+4..b+6 gu = (e2 x n)/|n|^2,
+#           b+7 cu = -gu.p0, b+8..b+10 gv = (n x e1)/|n|^2, b+11
+#           cv = -gv.p0. The kernel computes ft = (d0 - n.o)/(n.d),
+#           the hit point h = o + ft d, then fu = gu.h + cu,
+#           fv = gv.h + cv -- the same e1/e2 barycentrics as 'mt'.
+#           ~22% fewer vector issues than Moller-Trumbore with only
+#           ~5 simultaneously-live column broadcasts (vs woop's 12);
+#           padded/degenerate slots auto-miss via 0/0 = NaN.
+#
 # Measured on-chip (tools/exp_woop.py, viking hall, REAL sorted
 # mid-flight rays, v6 kernel): despite ~15% fewer vector issues on
 # paper, woop is 7% SLOWER on bounce packets (124.6 vs 116.2 ms;
 # winners agree 1.0000) -- the 12 simultaneously-live column broadcasts
 # per triangle raise register pressure in exactly the way the v5->v6
-# scratch-register finding showed this kernel cannot afford. Kept as a
-# gated format because the tables/kernels are equality-tested both
-# ways; 'mt' is the production default.
-LEAF_FMT = 'mt'
+# scratch-register finding showed this kernel cannot afford.
+#
+# 'bary' wins where woop lost (tools/exp_leafbary.py, same harness):
+# bounce 149.2 -> 132.7 ms (13.9 -> 15.6 Mrays/s kernel-only, +12%),
+# coherent primaries 209.1 -> 179.1 ms (+17%), hits agree 1.00000 and
+# t within 2e-4 on 99.995% of shared hits -- the short dependency
+# chain keeps register pressure at 'mt' levels while saving the
+# cross-product arithmetic. Production default since round 3.
+LEAF_FMT = 'bary'
 
 
 def _woop_rows(p0, p1, p2):
@@ -148,6 +163,21 @@ def _woop_rows(p0, p1, p2):
     m = np.linalg.inv(a)
     c = -m @ p0.astype(np.float64)
     return np.concatenate([m.reshape(9), c]).astype(np.float32)
+
+
+def _bary_rows(p0, p1, p2):
+    """(12,) float32 [n | d0 | gu | cu | gv | cv] for one triangle."""
+    p0 = p0.astype(np.float64)
+    e1 = p1.astype(np.float64) - p0
+    e2 = p2.astype(np.float64) - p0
+    n = np.cross(e1, e2)
+    nn = float(n @ n)
+    if nn < 1e-30:
+        return np.zeros(12, np.float32)     # degenerate: auto-miss
+    gu = np.cross(e2, n) / nn
+    gv = np.cross(n, e1) / nn
+    return np.concatenate([
+        n, [n @ p0], gu, [-gu @ p0], gv, [-gv @ p0]]).astype(np.float32)
 
 
 def pack_wide_geom(wide: 'WideBvh',
@@ -196,6 +226,8 @@ def pack_wide_geom(wide: 'WideBvh',
             p0, p1, p2 = tri_positions[src]
             if leaf_fmt == 'woop':
                 g[b:b + 12] = _woop_rows(p0, p1, p2)
+            elif leaf_fmt == 'bary':
+                g[b:b + 12] = _bary_rows(p0, p1, p2)
             else:
                 g[b:b + 3] = p0
                 g[b + 3:b + 6] = p1 - p0

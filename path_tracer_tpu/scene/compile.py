@@ -693,8 +693,8 @@ def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None,
         # Without the memo each edit re-paid the SBVH + DP collapse
         # (~1.5 s for a 41k-tri mesh, tools/measure_editor.py); with it
         # only genuinely new/changed geometry builds.
-        key = (width, leaf_max, id(mesh.positions), id(mesh.faces),
-               len(mesh.faces))
+        key = (width, leaf_max, bvh8.LEAF_FMT, id(mesh.positions),
+               id(mesh.faces), len(mesh.faces))
         cached = getattr(mesh, '_wide_table_cache', None)
         if cached is not None and cached[0] == key:
             mesh_tables[id(mesh)] = cached[1]
@@ -820,6 +820,19 @@ def _build_inst_tables(instances, inst_bounds, width=None, leaf_max=None,
     ), t_rows
 
 
+def entity_packs_shape(entity):
+    """Shape-walk predicate shared by the compile pass, the host
+    layout builder and the tools mirror: a mesh instance without a
+    mesh -- or with a faceless one (fresh asset, empty import) -- has
+    no geometry to hit and packs no shape slot (a zero-face tree would
+    crash the wide-BVH build)."""
+    if entity.type not in _ENTITY_TO_SHAPE_TYPE:
+        return False
+    if entity.type == ENTITY_TYPE_MESH_INSTANCE:
+        return entity.mesh is not None and len(entity.mesh.faces) > 0
+    return True
+
+
 def collect_mesh_instances(scene):
     """(instances, bounds) in walk order, as _build_inst_tables expects:
     instances = [(shape_index, entity, world, object_from_world)], and
@@ -828,9 +841,7 @@ def collect_mesh_instances(scene):
     instances, bounds = [], []
     index = 0
     for entity, world in scene.walk_entities_with_transform():
-        if entity.type not in _ENTITY_TO_SHAPE_TYPE:
-            continue
-        if entity.type == ENTITY_TYPE_MESH_INSTANCE and entity.mesh is None:
+        if not entity_packs_shape(entity):
             continue
         stype = _ENTITY_TO_SHAPE_TYPE[entity.type]
         if stype == SHAPE_TYPE_MESH_INSTANCE:
@@ -1071,9 +1082,7 @@ def _compile_scene(scene, prev, aspect_ratio, spectrum_table, dirty):
         instances = []  # (shape_index, entity, world, object_from_world)
 
         for entity, world in scene.walk_entities_with_transform():
-            if entity.type not in _ENTITY_TO_SHAPE_TYPE:
-                continue
-            if entity.type == ENTITY_TYPE_MESH_INSTANCE and entity.mesh is None:
+            if not entity_packs_shape(entity):
                 continue
             stype = _ENTITY_TO_SHAPE_TYPE[entity.type]
             material_slot = (entity.material.packed_material_index

@@ -59,10 +59,14 @@ def test_inst_tables_cost_o_mesh():
     assert sizes[4][2] == 4 and sizes[16][2] == 16
 
 
-def test_inst_trace_matches_portable():
+@pytest.mark.parametrize('leaf_fmt', ['mt', 'bary'])
+def test_inst_trace_matches_portable(leaf_fmt, monkeypatch):
     """The v6 kernel (interpret mode) must reproduce the portable
     traversal's hits through the full trace() resolve on a
-    multi-instance transformed scene."""
+    multi-instance transformed scene -- for every leaf geometry
+    format (the tables and kernel branch must agree per format)."""
+    from path_tracer_tpu.scene import bvh8
+    monkeypatch.setattr(bvh8, 'LEAF_FMT', leaf_fmt)
     scene, rng = _instanced_scene(6)
     packed = compile_mod.compile_scene(scene)
     layout = SceneLayout.from_packed(packed)
