@@ -281,8 +281,7 @@ def build_layout_host(scene, packed):
     """Build the SceneLayout from the host-side scene document (no
     device readbacks). Mirrors from_packed's semantics."""
     from ..core.constants import MATERIAL_TYPE_OPENPBR
-    from ..scene.compile import _ENTITY_TO_SHAPE_TYPE
-    from ..scene.model import ENTITY_TYPE_MESH_INSTANCE
+    from ..scene.compile import _ENTITY_TO_SHAPE_TYPE, entity_packs_shape
     from . import trace_packet
 
     from ..scene.compile import _bucket
@@ -292,9 +291,7 @@ def build_layout_host(scene, packed):
     mat_types = set()
     index = 0
     for entity in (e for e, _ in scene.walk_entities_with_transform()):
-        if entity.type not in _ENTITY_TO_SHAPE_TYPE:
-            continue
-        if entity.type == ENTITY_TYPE_MESH_INSTANCE and entity.mesh is None:
+        if not entity_packs_shape(entity):
             continue
         stype = _ENTITY_TO_SHAPE_TYPE[entity.type]
         if stype == SHAPE_TYPE_MESH_INSTANCE:

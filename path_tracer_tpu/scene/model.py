@@ -225,6 +225,12 @@ class Mesh:
     bvh: object = None
     packed_root_node_index: int = 0
 
+    def __post_init__(self):
+        # Enforce the documented (F, 3) faces contract: empty imports
+        # often arrive as shape (0,), which would poison the pack
+        # concatenations with mismatched ranks (compile._pack_meshes).
+        self.faces = np.asarray(self.faces, np.int32).reshape(-1, 3)
+
 
 @dataclass
 class Entity:

@@ -70,3 +70,40 @@ def test_native_builder_matches_python_semantics():
     # Root bounds identical.
     np.testing.assert_allclose(nat.node_min[0], py.node_min[0], atol=1e-6)
     np.testing.assert_allclose(nat.node_max[0], py.node_max[0], atol=1e-6)
+
+
+def test_empty_mesh_instance_packs_no_shape():
+    """A mesh instance whose mesh has no faces (fresh asset, empty
+    import) must compile to a scene without that shape slot instead of
+    crashing the pack/wide-BVH build, and rays must still hit the
+    remaining geometry."""
+    import jax.numpy as jnp
+    from path_tracer_tpu import compile_scene
+    from path_tracer_tpu.ops.intersect import SceneLayout, trace
+    from path_tracer_tpu.core.constants import (SHAPE_INDEX_NONE,
+                                                SHAPE_TYPE_SPHERE)
+    from path_tracer_tpu.scene.model import (
+        ENTITY_TYPE_CAMERA, ENTITY_TYPE_MESH_INSTANCE, ENTITY_TYPE_SPHERE,
+        Scene)
+
+    scene = Scene()
+    scene.create_entity(ENTITY_TYPE_CAMERA)
+    empty = scene.create_mesh(name='empty',
+                              faces=np.zeros(0, np.int32))  # shape (0,)
+    assert empty.faces.shape == (0, 3)                      # normalized
+    scene.create_entity(ENTITY_TYPE_MESH_INSTANCE, mesh=empty,
+                        material=scene.create_material(1))
+    scene.create_entity(ENTITY_TYPE_SPHERE,
+                        material=scene.create_material(1))
+
+    packed = compile_scene(scene)
+    layout = SceneLayout.from_packed(packed)
+    assert layout.instance_slots == 0
+
+    n = 128
+    o = jnp.zeros((3, n), jnp.float32)
+    o = o.at[1].set(-4.0)
+    d = jnp.zeros((3, n), jnp.float32).at[1].set(1.0)
+    h = trace(packed, layout, o, d, use_packet=False)
+    shp = np.asarray(h['shape'])
+    assert (shp != SHAPE_INDEX_NONE).all()                  # sphere hit
