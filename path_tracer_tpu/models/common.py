@@ -56,27 +56,35 @@ def sample_texture(packed, texture_index, uv, atlas_size,
     y = v * size - 0.5
     has_bilinear, has_nearest = filter_modes
 
+    # The filter combine runs LANE-MAJOR (N, 4): gather output is
+    # (N, k), so combining before the channels-first transpose shrinks
+    # the lane/sublane shuffle 4x. Bit-identical output; measured -15 ms
+    # on the STANDALONE scatter program at 2M lanes
+    # (tools/exp_skytap3.py) -- the fused round program was already
+    # neutral (XLA fuses the transpose there; bench unchanged), so this
+    # pays in the standalone stage jits (viewer preview, tools).
     if use_quad:
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
         # Forcing the fraction to 0 when floor clips below 0 reproduces
         # the 4-gather path's double-clamped corners exactly.
-        fx = jnp.where(x0 < 0, 0.0, x - x0)
-        fy = jnp.where(y0 < 0, 0.0, y - y0)
+        fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
+        fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
         x0c = jnp.clip(x0, 0, size - 1)
         y0c = jnp.clip(y0, 0, size - 1)
         idx = (layer * size + y0c) * size + x0c
-        q = jnp.take(packed.atlas_quad, idx, axis=0).T   # (16, N)
-        c00, c10, c01, c11 = q[0:4], q[4:8], q[8:12], q[12:16]
+        q = jnp.take(packed.atlas_quad, idx, axis=0)     # (N, 16)
+        c00, c10, c01, c11 = (q[..., 0:4], q[..., 4:8],
+                              q[..., 8:12], q[..., 12:16])
         linear = nearest = None
         if has_bilinear:
             linear = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
-                      + (c01 * (1 - fx) + c11 * fx) * fy)
+                      + (c01 * (1 - fx) + c11 * fx) * fy)  # (N, 4)
         if has_nearest:
             xn = jnp.clip(jnp.round(x).astype(jnp.int32), 0, size - 1)
             yn = jnp.clip(jnp.round(y).astype(jnp.int32), 0, size - 1)
-            sx = xn > x0c
-            sy = yn > y0c
+            sx = (xn > x0c)[..., None]
+            sy = (yn > y0c)[..., None]
             nearest = jnp.where(sx & sy, c11,
                                 jnp.where(sx, c10, jnp.where(sy, c01, c00)))
     else:
@@ -86,31 +94,31 @@ def sample_texture(packed, texture_index, uv, atlas_size,
             px = jnp.clip(px, 0, size - 1)
             py = jnp.clip(py, 0, size - 1)
             idx = (layer * size + py) * size + px
-            return jnp.take(rows, idx, axis=0).T  # (4, N)
+            return jnp.take(rows, idx, axis=0)   # (N, 4)
 
         linear = nearest = None
         if has_bilinear:
             x0 = jnp.floor(x).astype(jnp.int32)
             y0 = jnp.floor(y).astype(jnp.int32)
-            fx = x - x0
-            fy = y - y0
+            fx = (x - x0)[..., None]
+            fy = (y - y0)[..., None]
             c00 = fetch(x0, y0)
             c10 = fetch(x0 + 1, y0)
             c01 = fetch(x0, y0 + 1)
             c11 = fetch(x0 + 1, y0 + 1)
             linear = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
-                      + (c01 * (1 - fx) + c11 * fx) * fy)
+                      + (c01 * (1 - fx) + c11 * fx) * fy)  # (N, 4)
         if has_nearest:
             xn = jnp.round(x).astype(jnp.int32)
             yn = jnp.round(y).astype(jnp.int32)
             nearest = fetch(xn, yn)
 
     if not has_nearest:
-        return linear
+        return linear.T
     if not has_bilinear:
-        return nearest
-    use_nearest = (flags & TEXTURE_FLAG_FILTER_NEAREST) != 0
-    return jnp.where(use_nearest, nearest, linear)
+        return nearest.T
+    use_nearest = ((flags & TEXTURE_FLAG_FILTER_NEAREST) != 0)[..., None]
+    return jnp.where(use_nearest, nearest, linear).T
 
 
 def texturable_reflectance(packed, beta, texture_index, lam, uv, textured,
