@@ -1,20 +1,14 @@
-"""Transpose share of the packed row gather (permute_rows).
+"""Does the packed row gather's stack/transpose pair cost anything in
+the FUSED round program?
 
-permute_rows stacks k rows channels-first then transposes to (N, k),
-gathers, and transposes back -- two full 64 MB lane/sublane shuffles
-around one gather at 2M lanes. After the skybox late-transpose win
-(tools/exp_skytap3.py: a (N, 16) transpose was ~15 ms), this measures
-how much of the in-trace sort's row-gather cost is the transposes:
-
-  prod        stack(axis=0) -> .T -> take -> .T (current permute_rows)
-  stack1      stack(axis=1) -> take -> column slices (no explicit .T)
-  gather_only take on a PRE-PACKED (N, 8) matrix (floor: pure gather)
-  pack_only   the stack+transposes with a static iota 'permutation'
-              replaced by... same take but identity perm (gather cost
-              should not depend on indices; sanity row)
-
-Timed standalone (jit per variant, readback-forced), interleaved A/B,
-on the production 7-row trace input (o3 d3 t) at 2M lanes.
+permute_rows stacks k rows channels-first, transposes to (N, k),
+gathers, transposes back. tools/exp_skytap3.py showed a standalone
+(N, 16) transpose costs ~15 ms at 2M lanes -- but also that the fused
+round often fuses such shuffles away (the texture-tap restructure was
+production-neutral). This A/Bs the full production sorted round on
+viking with permute_rows vs a stack(axis=1) variant that never forms
+the channels-first intermediate. Values are bit-identical (same
+gather, same elements).
 
 Run alone on the axon TPU.
 """
@@ -27,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
 
-REPS = 10
+REPS = 8
 
 
 def main():
@@ -35,75 +29,62 @@ def main():
     import jax.numpy as jnp
     from path_tracer_tpu import RenderConfig, SceneLayout, compile_scene
     from path_tracer_tpu.integrator import wavefront as wf
-    from path_tracer_tpu.ops.intersect import ray_sort_key
+    from path_tracer_tpu.ops import intersect
     from path_tracer_tpu.scene.procedural import make_viking_hall_scene
 
     scene = make_viking_hall_scene(detail=1)
     packed = compile_scene(scene, aspect_ratio=16 / 9)
     layout = SceneLayout.from_packed(packed)
     config = RenderConfig(width=1920, height=1080)
-    state = wf.render(packed, config, 4, seed=0, layout=layout)
+    state = wf.render(packed, config, 24, seed=0, layout=layout)
     float(jnp.sum(state['accum']['count']))
-    o, d = state['origin'], state['direction']
-    t_in = jnp.full(o.shape[1:], 1e6, jnp.float32)
-    rows7 = [o[0], o[1], o[2], d[0], d[1], d[2], t_in]
-    n = o.shape[1]
-    perm = jax.jit(lambda o_, d_: jnp.argsort(ray_sort_key(packed, o_, d_)))(
-        o, d)
-    perm.block_until_ready()
 
-    @jax.jit
-    def prod(rows, perm):
-        cast = list(rows) + [jnp.zeros(n, jnp.float32)]
-        m = jnp.stack(cast, axis=0)           # (8, N)
-        out = jnp.take(m.T, perm, axis=0).T   # (8, N)
-        return [out[i] for i in range(7)]
+    prod_permute = intersect.permute_rows
 
-    @jax.jit
-    def stack1(rows, perm):
-        cast = list(rows) + [jnp.zeros(n, jnp.float32)]
-        m = jnp.stack(cast, axis=1)           # (N, 8) directly
-        out = jnp.take(m, perm, axis=0)       # (N, 8)
-        return [out[:, i] for i in range(7)]
+    def stack1_permute(rows, perm, block=1):
+        k = len(rows)
+        width = -(-k // 8) * 8
+        n = rows[0].shape[0]
+        cast = [r if r.dtype == jnp.float32
+                else jax.lax.bitcast_convert_type(r, jnp.float32)
+                for r in rows]
+        cast += [jnp.zeros(n, jnp.float32)] * (width - k)
+        flat = jnp.stack(cast, axis=1)            # (n, width) directly
+        if block > 1:
+            flat = flat.reshape(n // block, block * width)
+        out = jnp.take(flat, perm, axis=0)
+        if block > 1:
+            out = out.reshape(n, width)
+        return [out[:, i] if rows[i].dtype == jnp.float32
+                else jax.lax.bitcast_convert_type(out[:, i], rows[i].dtype)
+                for i in range(k)]
 
-    pre = jnp.stack(rows7 + [jnp.zeros(n, jnp.float32)], axis=1)
-    pre.block_until_ready()
+    def make_round():
+        # Fresh lambda per arm: the permute variant is a global read at
+        # trace time, invisible to the jit cache key.
+        return jax.jit(
+            lambda p, s, t: wf.render_rounds(p, layout, config, s, t,
+                                             rounds=1,
+                                             sort_each_round=True))
 
-    @jax.jit
-    def gather_only(pre, perm):
-        return jnp.take(pre, perm, axis=0)
-
-    @jax.jit
-    def null(rows, perm):
-        return [r + 1.0 for r in rows]
-
-    def timeit(label, fn, *args):
-        out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.sum(leaf))
+    def timeit(label, fn):
+        out = fn(packed, state, jnp.float32(0.05))
+        float(jnp.sum(out['accum']['count']))
         t0 = time.time()
         for _ in range(REPS):
-            out = fn(*args)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            float(jnp.sum(leaf))
+            out = fn(packed, state, jnp.float32(0.05))
+            float(jnp.sum(out['accum']['count']))
         dt = (time.time() - t0) / REPS
-        print(f'# {label:12s} {dt*1e3:7.1f} ms', file=sys.stderr)
+        print(f'# {label:10s} {dt*1e3:7.1f} ms/round', file=sys.stderr)
         return round(dt * 1e3, 1)
 
     results = {}
     for rnd in range(2):
-        results[f'null{rnd}'] = timeit(f'null{rnd}', null, rows7, perm)
-        results[f'prod{rnd}'] = timeit(f'prod{rnd}', prod, rows7, perm)
-        results[f'stack1_{rnd}'] = timeit(f'stack1_{rnd}', stack1, rows7,
-                                          perm)
-        results[f'gather_{rnd}'] = timeit(f'gather_{rnd}', gather_only,
-                                          pre, perm)
-    # Equality.
-    a = prod(rows7, perm)
-    b = stack1(rows7, perm)
-    diff = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b))
-    results['max_abs_diff'] = diff
-    print(f'# max |prod-stack1| = {diff}', file=sys.stderr)
+        intersect.permute_rows = prod_permute
+        results[f'prod{rnd}'] = timeit(f'prod{rnd}', make_round())
+        intersect.permute_rows = stack1_permute
+        results[f'stack1_{rnd}'] = timeit(f'stack1_{rnd}', make_round())
+    intersect.permute_rows = prod_permute
     print(json.dumps(results))
 
 
