@@ -7,8 +7,9 @@ barriers; here a round is one iteration of a lax.fori_loop over the pure
 (trace, scatter, accumulate, respawn) step -- XLA owns scheduling and
 the "barrier" is dataflow.
 
-The accumulator is (N, 3) XYZ + (N,) counts (lane == pixel), merged into
-an image by integrator.resolve.
+The accumulator is (3, N) XYZ + (N,) counts, one slot per state lane;
+slots map to pixels many-to-one when RenderConfig.waves > 1 and are
+folded per pixel by integrator.resolve.
 """
 
 from __future__ import annotations
@@ -101,6 +102,18 @@ class RenderConfig:
     # even 8-lane blocks lose octant purity and the whole 2.7x sort
     # win with it; kept as a measurement knob only.
     sort_block: int = 1
+    # Independent sample waves held in flight: the render state carries
+    # waves * width * height lanes (slot = wave * n_pixels + lane, each
+    # slot an independent RNG stream of the same pixel grid) and every
+    # round advances ALL of them. The per-round coherence sort then
+    # packs rays `waves`-fold denser in (octant, origin-morton) key
+    # space, so each 3072-ray packet spans a tighter frustum and its
+    # leaf union falls toward the per-ray need -- measured on viking
+    # hall bounce rays (tools/exp_density.py): leaf-unions/packet
+    # 172.7 -> 101.2 and kernel Mrays/s 18.8 -> 39.5 from waves 1 -> 8.
+    # Costs waves x state memory (~250 MB per wave at 1080p); resolve
+    # folds the waves per pixel.
+    waves: int = 1
 
 
 # Minimum world triangle SLOTS (wide-leaf rows x 8, counting padding --
@@ -131,11 +144,16 @@ def wants_sort(config: RenderConfig, layout) -> bool:
                 and layout.wide_face_slots >= SORT_MIN_FACES)
 
 
-def reset(packed, config: RenderConfig, seed, lane=None):
+def reset(packed, config: RenderConfig, seed, slot=None):
     """ResetBasicRenderer: fresh paths + camera rays + cleared accumulator.
 
-    `lane` optionally restricts this state to a slice of the image's
-    pixels (for pixel-sharded rendering); defaults to all pixels.
+    `slot` optionally restricts this state to a slice of the global
+    slot space (for pixel-sharded rendering); defaults to all
+    config.waves * width * height slots. A slot's pixel lane is
+    slot % (width * height) and its RNG stream id is the slot itself,
+    so wave copies of the same pixel draw independent streams and a
+    sharded reset over any partition of the slot space reproduces the
+    single-device state slot-for-slot.
 
     Jitted as ONE program: built eagerly this is ~2700 individual op
     dispatches at 2M lanes, which on the deferred-dispatch axon runtime
@@ -144,14 +162,15 @@ def reset(packed, config: RenderConfig, seed, lane=None):
     bench's "550 s Cornell compile" in its entirety. The seed is traced,
     so per-restart reseeds reuse the compiled program.
     """
-    if lane is None:
+    if slot is None:
         return _reset_jit(packed, config, jnp.uint32(seed))
-    return _reset_impl(packed, config, jnp.uint32(seed), lane)
+    return _reset_impl(packed, config, jnp.uint32(seed), slot)
 
 
-def _reset_impl(packed, config, seed, lane):
-    n = lane.shape[0]
-    rng = Rng.seed(lane.astype(jnp.uint32), seed)
+def _reset_impl(packed, config, seed, slot):
+    n = slot.shape[0]
+    lane = slot % jnp.int32(config.width * config.height)
+    rng = Rng.seed(slot.astype(jnp.uint32), seed)
     state, origin, direction = new_paths(
         packed, config.camera_index, config.camera_model,
         config.width, config.height, rng, config.flags, lane)
@@ -165,8 +184,9 @@ def _reset_impl(packed, config, seed, lane):
 
 @partial(jax.jit, static_argnames=('config',))
 def _reset_jit(packed, config, seed):
-    lane = jnp.arange(config.width * config.height, dtype=jnp.int32)
-    return _reset_impl(packed, config, seed, lane)
+    slot = jnp.arange(config.waves * config.width * config.height,
+                      dtype=jnp.int32)
+    return _reset_impl(packed, config, seed, slot)
 
 
 def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
@@ -256,8 +276,9 @@ def render(packed, config: RenderConfig, spp_rounds, seed=0,
     """Convenience driver: reset (unless resuming) + N rounds.
 
     spp_rounds is the number of wavefront rounds; expected samples per
-    pixel is roughly rounds / E[path length]. Returns the render state
-    (pass back via `state=` to continue progressive accumulation).
+    pixel is roughly rounds * config.waves / E[path length]. Returns the
+    render state (pass back via `state=` to continue progressive
+    accumulation).
     """
     layout = layout or SceneLayout.from_packed(packed)
     if state is None:

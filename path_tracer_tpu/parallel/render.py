@@ -59,12 +59,16 @@ def render_sharded(packed, config: RenderConfig, rounds, mesh: Mesh,
     replicated; path state lives sharded on-device for the whole loop.
     """
     layout = layout or SceneLayout.from_packed(packed)
-    n = config.width * config.height
+    # The sharded axis is the SLOT space: config.waves independent
+    # sample waves of the pixel grid (slot = wave * n_pixels + lane;
+    # wavefront.reset derives lane and RNG stream from the slot, so any
+    # partition reproduces the single-device state slot-for-slot).
+    n = config.waves * config.width * config.height
     n_pixel_shards = mesh.shape['pixels']
     n_batch = mesh.shape['batch']
     assert n % n_pixel_shards == 0, (n, n_pixel_shards)
 
-    lane = jnp.arange(n, dtype=jnp.int32)
+    slot = jnp.arange(n, dtype=jnp.int32)
     # Per-batch-row seeds decorrelate sample streams.
     seeds = jnp.asarray(seed, jnp.uint32) + jnp.arange(n_batch, dtype=jnp.uint32)
 
@@ -75,8 +79,8 @@ def render_sharded(packed, config: RenderConfig, rounds, mesh: Mesh,
         out_specs=(P(None, 'pixels'), P('pixels'), P('pixels')),
         check_vma=False,
     )
-    def run(packed_rep, lane_shard, seed_shard):
-        state = reset(packed_rep, config, seed_shard[0], lane_shard)
+    def run(packed_rep, slot_shard, seed_shard):
+        state = reset(packed_rep, config, seed_shard[0], slot_shard)
         # Same driver semantics as the single-chip path: the coherence
         # sort runs every round, shard-locally (it permutes a shard's
         # own lanes only, so it composes with shard_map; the psum merge
@@ -96,5 +100,5 @@ def render_sharded(packed, config: RenderConfig, rounds, mesh: Mesh,
         count = jax.lax.psum(count, 'batch')
         return xyz, count, lane_sorted
 
-    xyz, count, lane = jax.jit(run)(packed, lane, seeds)
+    xyz, count, lane = jax.jit(run)(packed, slot, seeds)
     return dict(xyz=xyz, count=count, lane=lane)
