@@ -487,6 +487,17 @@ refreshScene();
 """
 
 
+
+def _item(seq, index, what):
+    """Bounds-checked list access for editor requests: Python's silent
+    negative-index wrap would make {"index": -1} edit the LAST item
+    instead of erroring, so every endpoint indexes through this."""
+    index = int(index)
+    if not 0 <= index < len(seq):
+        raise IndexError(f'{what} index {index} out of range '
+                         f'(have {len(seq)})')
+    return seq[index]
+
 class ViewerServer:
     """Serve an interactive progressive render + editor of a Session."""
 
@@ -531,11 +542,19 @@ class ViewerServer:
                     self._send(404, b'{}')
 
             def do_POST(self):
-                length = int(self.headers.get('Content-Length', 0))
-                body = json.loads(self.rfile.read(length) or b'{}')
+                # Body parsing sits INSIDE the error envelope: malformed
+                # JSON (json.JSONDecodeError is a ValueError) must come
+                # back as a clean 400, not a broken connection. TypeError
+                # covers wrong-shaped values (e.g. a list where a number
+                # belongs); the session stays renderable either way.
                 try:
+                    length = int(self.headers.get('Content-Length', 0))
+                    body = json.loads(self.rfile.read(length) or b'{}')
+                    if not isinstance(body, dict):
+                        raise ValueError('request body must be a JSON object')
                     result = outer.handle_post(self.path, body)
-                except (KeyError, ValueError, IndexError, OSError) as e:
+                except (KeyError, ValueError, IndexError, OSError,
+                        TypeError) as e:
                     self._send(400, json.dumps(dict(error=str(e))).encode())
                     return
                 if result is None:
@@ -676,7 +695,8 @@ class ViewerServer:
                                 np.asarray(tr[field], np.float32))
                 scene.mark_dirty(SCENE_DIRTY_SHAPES | SCENE_DIRTY_CAMERAS)
             if 'material' in body:
-                entity.material = scene.materials[int(body['material'])]
+                entity.material = _item(scene.materials, body['material'],
+                                        'material')
                 scene.mark_dirty(SCENE_DIRTY_SHAPES)
             if entity.type == ENTITY_TYPE_CAMERA:
                 # Camera inspector (imgui_main.cpp:212-302): projection
@@ -712,8 +732,14 @@ class ViewerServer:
                       if 'parent' in body else None)
             kwargs = {}
             if body['type'] == 'mesh':
-                kwargs['mesh'] = next(
-                    m for m in scene.meshes if m.name == body['mesh'])
+                # A guarded lookup, not next() without default: an
+                # unknown mesh name must surface as a clean 400 (the
+                # bare StopIteration escapes the error envelope).
+                matches = [m for m in scene.meshes
+                           if m.name == body['mesh']]
+                if not matches:
+                    raise KeyError(f"no mesh named {body['mesh']!r}")
+                kwargs['mesh'] = matches[0]
             entity = scene.create_entity(types[body['type']], parent=parent,
                                          **kwargs)
             entity.name = body.get('name', f"New {body['type']}")
@@ -722,7 +748,7 @@ class ViewerServer:
             scene.destroy_entity(self._entity_by_id(int(body['id'])))
             return {}
         if path == '/material/update':
-            material = scene.materials[int(body['index'])]
+            material = _item(scene.materials, body['index'], 'material')
             field = str(body['field'])
             if not any(f.name == field for f in dataclasses.fields(material)):
                 raise KeyError(f'{type(material).__name__} has no '
@@ -733,8 +759,8 @@ class ViewerServer:
                 value = np.asarray(value, np.float32)
             elif field.endswith('_texture') or current is None or \
                     hasattr(current, 'pixels'):
-                value = (scene.textures[int(value)] if int(value) >= 0
-                         else None)
+                value = (_item(scene.textures, value, 'texture')
+                         if int(value) >= 0 else None)
             elif isinstance(current, int) and not isinstance(current, bool):
                 value = int(value)
             else:
@@ -754,7 +780,7 @@ class ViewerServer:
         if path == '/material/clone':
             # The reference's material-browser Clone (imgui_main.cpp
             # :609-664): value copy, texture references shared.
-            src = scene.materials[int(body['index'])]
+            src = _item(scene.materials, body['index'], 'material')
             clone = dataclasses.replace(src, name=src.name + ' (copy)')
             for f in dataclasses.fields(clone):
                 value = getattr(clone, f.name)
@@ -764,7 +790,8 @@ class ViewerServer:
             scene.mark_dirty(SCENE_DIRTY_MATERIALS)
             return dict(index=len(scene.materials) - 1)
         if path == '/material/delete':
-            scene.destroy_material(scene.materials[int(body['index'])])
+            scene.destroy_material(
+                _item(scene.materials, body['index'], 'material'))
             return {}
         if path == '/texture/import':
             from ..core.constants import (
@@ -781,13 +808,15 @@ class ViewerServer:
                 pixels=np.asarray(pixels, np.float32))
             return dict(index=scene.textures.index(texture))
         if path == '/texture/delete':
-            scene.destroy_texture(scene.textures[int(body['index'])])
+            scene.destroy_texture(
+                _item(scene.textures, body['index'], 'texture'))
             return {}
         if path == '/skybox/set':
             from ..scene.model import SCENE_DIRTY_SKYBOX_TEXTURE
             index = int(body['index'])
-            scene.root.skybox_texture = (scene.textures[index]
-                                         if index >= 0 else None)
+            scene.root.skybox_texture = (
+                _item(scene.textures, index, 'texture')
+                if index >= 0 else None)
             scene.mark_dirty(SCENE_DIRTY_SKYBOX_TEXTURE)
             return {}
         if path == '/prefab/import':
@@ -806,10 +835,12 @@ class ViewerServer:
             parent = (self._entity_by_id(int(body['parent']))
                       if 'parent' in body else None)
             entity = scene.instantiate_prefab(
-                scene.prefabs[int(body['index'])], parent=parent)
+                _item(scene.prefabs, body['index'], 'prefab'),
+                parent=parent)
             return dict(id=self._eid(entity))
         if path == '/mesh/delete':
-            scene.destroy_mesh(scene.meshes[int(body['index'])])
+            scene.destroy_mesh(
+                _item(scene.meshes, body['index'], 'mesh'))
             return {}
         if path == '/scene/save':
             from ..scene.serializer import save_scene
