@@ -209,11 +209,19 @@ def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
     """
     rounds = config.rounds_per_call if rounds is None else rounds
 
+    n_lanes = render_state['origin'].shape[1]
+    # The per-wave quantile-interleave sort needs the state to be whole
+    # wave-major waves of the full pixel grid (ops/intersect
+    # .permute_rows_waves); sharded states are wave FRAGMENTS and keep
+    # the single global in-shard sort.
+    sort_waves = (config.waves if n_lanes == config.waves * config.width
+                  * config.height else 1)
+
     def one_round(_, rs):
         rng = Rng(rs['rng_state'])
         hit = trace(packed, layout, rs['origin'], rs['direction'],
                     sort_packets=sort_each_round,
-                    sort_block=config.sort_block)
+                    sort_block=config.sort_block, sort_waves=sort_waves)
         path, origin, direction, alive = scatter(
             packed, rs['path'], rs['origin'], rs['direction'], hit, rng,
             termination_probability, layout)

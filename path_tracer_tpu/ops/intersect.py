@@ -87,6 +87,56 @@ def ray_sort_key(packed, origin, direction):
     return (octant << 15) | morton
 
 
+def permute_rows_waves(rows, perm_w, inverse=False):
+    """Per-wave permute + cross-wave quantile interleave.
+
+    rows: list of (N,) with N = W * n1 in wave-major layout (the
+    multi-wave render state, integrator/wavefront.py). perm_w: (W, n1)
+    per-wave sort permutations (inverse=False) or their inverses
+    (inverse=True).
+
+    Forward: out[q * W + w] = rows[w * n1 + perm_w[w, q]] -- each wave
+    is sorted by its own key order and the W sorted streams are
+    INTERLEAVED rank by rank. Waves are iid samples of the same
+    wavefront distribution, so rank q of every wave sits at the same
+    key quantile: a 3072-ray packet of consecutive interleaved lanes
+    spans only ~1/W of the key range, which is exactly the leaf-union
+    density win of a GLOBAL sort (tools/exp_density.py) -- without its
+    cost cliff. The single global (N, 8) packed gather leaves XLA's
+    VMEM-staged fast path once the operand passes ~64 MB: 10 ms at 2M
+    lanes but 83 ms at 4M and 165 at 8M (tools/exp_waves3.py). Here
+    every gather operand stays (n1, 8) = 64 MB at 1080p waves, and the
+    interleave itself is a transpose (HBM-bandwidth, not per-index).
+
+    Inverse: rows are in interleaved order; returns wave-major lane
+    order via out[w * n1 + j] = rows[rank_of_j_in_wave_w * W + w].
+    """
+    k = len(rows)
+    width = -(-k // 8) * 8
+    n = rows[0].shape[0]
+    w_count, n1 = perm_w.shape
+    assert n == w_count * n1, (n, perm_w.shape)
+    cast = [r if r.dtype == jnp.float32
+            else jax.lax.bitcast_convert_type(r, jnp.float32) for r in rows]
+    matrix = jnp.stack(
+        cast + [jnp.zeros(n, jnp.float32)] * (width - k), axis=0)
+    if inverse:
+        # interleaved (n1, W, width) -> per-wave rank order (W, n1, width)
+        waves = jnp.moveaxis(matrix.T.reshape(n1, w_count, width), 1, 0)
+    else:
+        waves = matrix.T.reshape(w_count, n1, width)
+    parts = [jnp.take(waves[w], perm_w[w], axis=0) for w in range(w_count)]
+    stacked = jnp.stack(parts, axis=0)           # (W, n1, width)
+    if inverse:
+        flat = stacked.reshape(n, width)         # wave-major lane order
+    else:
+        flat = jnp.moveaxis(stacked, 0, 1).reshape(n, width)  # interleave
+    out = flat.T
+    return [out[i] if rows[i].dtype == jnp.float32
+            else jax.lax.bitcast_convert_type(out[i], rows[i].dtype)
+            for i in range(k)]
+
+
 def permute_rows(rows, perm, block=1):
     """Permute a list of (N,) rows by ONE packed row gather.
 
@@ -833,7 +883,7 @@ def resolve_hit_attributes(packed, layout: SceneLayout, origin, direction, hit):
 
 def trace(packed, layout: SceneLayout, origin, direction,
           duration=HIT_TIME_LIMIT, use_packet=None, interpret=False,
-          sort_packets=False, sort_block=1):
+          sort_packets=False, sort_block=1, sort_waves=1):
     """Full trace: intersect every shape, resolve hit attributes.
 
     origin/direction: (3, N). Returns the resolved hit SoA dict. Lanes
@@ -879,18 +929,37 @@ def trace(packed, layout: SceneLayout, origin, direction,
             # are already correlated. Measured knee: tools/exp_blocksort.py.
             G = math.gcd(sort_block, n) if sort_block > 1 else 1
             key = ray_sort_key(packed, origin, direction)
-            if G > 1:
-                key = key.reshape(n // G, G).min(axis=1)
-            perm = jnp.argsort(key)
-            # Inverse permutation by a SECOND argsort: XLA's int32
-            # argsort is nearly free on TPU (~0.4 ms at 2M net of
-            # dispatch, tools/exp_gather_locality.py session probes)
-            # while the (N,) scatter build costs ~6 ms; the fused
-            # viking round measured 4 ms faster this way.
-            inv = jnp.argsort(perm)
-            rows = permute_rows(
-                [origin[0], origin[1], origin[2], direction[0],
-                 direction[1], direction[2], hit['time']], perm, block=G)
+            # sort_waves > 1 (the multi-wave state, wave-major slots):
+            # sort each wave separately and quantile-interleave the
+            # sorted streams (permute_rows_waves) -- same packet
+            # density as a global sort of the whole slot space, but
+            # every gather operand stays one wave wide, under XLA's
+            # ~64 MB fast-gather cliff (tools/exp_waves3.py). Only
+            # valid when the lane layout is whole wave-major waves
+            # (the sharded driver's shards are wave fragments: W = 1).
+            W = (int(sort_waves)
+                 if sort_waves > 1 and G == 1 and n % sort_waves == 0
+                 else 1)
+            if W > 1:
+                perm_w = jnp.argsort(key.reshape(W, n // W), axis=1)
+                inv = jnp.argsort(perm_w, axis=1)
+                rows = permute_rows_waves(
+                    [origin[0], origin[1], origin[2], direction[0],
+                     direction[1], direction[2], hit['time']], perm_w)
+            else:
+                if G > 1:
+                    key = key.reshape(n // G, G).min(axis=1)
+                perm = jnp.argsort(key)
+                # Inverse permutation by a SECOND argsort: XLA's int32
+                # argsort is nearly free on TPU (~0.4 ms at 2M net of
+                # dispatch, tools/exp_gather_locality.py session
+                # probes) while the (N,) scatter build costs ~6 ms;
+                # the fused viking round measured 4 ms faster this way.
+                inv = jnp.argsort(perm)
+                rows = permute_rows(
+                    [origin[0], origin[1], origin[2], direction[0],
+                     direction[1], direction[2], hit['time']], perm,
+                    block=G)
             k_origin = jnp.stack(rows[0:3], axis=0)
             k_direction = jnp.stack(rows[3:6], axis=0)
             k_tin = rows[6]
@@ -900,8 +969,12 @@ def trace(packed, layout: SceneLayout, origin, direction,
                 k_origin, k_direction, k_tin,
                 tlas_rows=layout.tlas_rows, interpret=interpret)
             if sort_packets:
-                t, face, fu, fv, inst = permute_rows(
-                    [t, face, fu, fv, inst], inv, block=G)
+                if W > 1:
+                    t, face, fu, fv, inst = permute_rows_waves(
+                        [t, face, fu, fv, inst], inv, inverse=True)
+                else:
+                    t, face, fu, fv, inst = permute_rows(
+                        [t, face, fu, fv, inst], inv, block=G)
             normal, uv, shp = trace_inst.resolve_inst_attributes(
                 packed.inst_attrs, packed.inst_aux, face, fu, fv, inst,
                 n_instances=layout.instance_slots)
@@ -910,8 +983,12 @@ def trace(packed, layout: SceneLayout, origin, direction,
                 packed.wide_nodes_g, packed.wide_tris_g, k_origin,
                 k_direction, k_tin, interpret=interpret)
             if sort_packets:
-                t, face, fu, fv = permute_rows([t, face, fu, fv], inv,
-                                               block=G)
+                if W > 1:
+                    t, face, fu, fv = permute_rows_waves(
+                        [t, face, fu, fv], inv, inverse=True)
+                else:
+                    t, face, fu, fv = permute_rows([t, face, fu, fv], inv,
+                                                   block=G)
             normal, uv, shp = trace_packet.resolve_wide_attributes(
                 packed.wide_attrs, face, fu, fv)
         improved = face >= 0

@@ -80,9 +80,12 @@ def build_bvh_cached(tri_positions, max_leaf_faces=4, cache_dir=None,
     else:
         bvh = build_bvh(tris, max_leaf_faces)
     os.makedirs(cache_dir, exist_ok=True)
-    np.savez_compressed(path, node_min=bvh.node_min, node_max=bvh.node_max,
-                        a=bvh.a, b=bvh.b, face_order=bvh.face_order,
-                        depth=bvh.depth)
+    # Uncompressed: zlib on a 1.8M-tri tree costs ~16 s of the compile
+    # for ~2x disk on a scratch cache (profiled in the round-4 terrain
+    # compile breakdown).
+    np.savez(path, node_min=bvh.node_min, node_max=bvh.node_max,
+             a=bvh.a, b=bvh.b, face_order=bvh.face_order,
+             depth=bvh.depth)
     return bvh
 
 

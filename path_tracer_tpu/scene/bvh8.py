@@ -151,33 +151,78 @@ ATTR5_WIDTH = 16
 LEAF_FMT = 'bary'
 
 
+def _cross_cols(a, b):
+    """Row-wise cross product of (F, 3) arrays WITHOUT np.cross: the
+    generic np.cross spends most of its time in moveaxis/axis
+    normalization (profiled at 58 s for 1.2M calls in the old per-face
+    path); three fused column expressions are ~100x faster."""
+    return np.stack([a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+                     a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+                     a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]], axis=1)
+
+
+def _woop_rows_batch(p):
+    """(F, 3, 3) vertex positions -> (F, 12) [M row-major | c] rows.
+
+    Vectorized over all faces (f64 inverses via the closed-form adjugate
+    of [e1 | e2 | n]); degenerate faces yield all-zero rows (auto-miss
+    through the kernel's 0/0 = NaN ordered comparisons)."""
+    p0 = p[:, 0].astype(np.float64)
+    e1 = p[:, 1].astype(np.float64) - p0
+    e2 = p[:, 2].astype(np.float64) - p0
+    n = _cross_cols(e1, e2)
+    a = np.stack([e1, e2, n], axis=2)            # (F, 3, 3) columns
+    det = (a[:, 0, 0] * (a[:, 1, 1] * a[:, 2, 2] - a[:, 1, 2] * a[:, 2, 1])
+           - a[:, 0, 1] * (a[:, 1, 0] * a[:, 2, 2] - a[:, 1, 2] * a[:, 2, 0])
+           + a[:, 0, 2] * (a[:, 1, 0] * a[:, 2, 1] - a[:, 1, 1] * a[:, 2, 0]))
+    ok = np.abs(det) >= 1e-30
+    safe = np.where(ok, det, 1.0)[:, None, None]
+    adj = np.empty_like(a)
+    for i in range(3):
+        for j in range(3):
+            r0, r1 = [r for r in range(3) if r != j]
+            c0, c1 = [c for c in range(3) if c != i]
+            sign = 1.0 if (i + j) % 2 == 0 else -1.0
+            adj[:, i, j] = sign * (a[:, r0, c0] * a[:, r1, c1]
+                                   - a[:, r0, c1] * a[:, r1, c0])
+    m = adj / safe                                # (F, 3, 3) inverse
+    c = -np.einsum('fij,fj->fi', m, p0)
+    out = np.concatenate([m.reshape(-1, 9), c], axis=1)
+    out[~ok] = 0.0
+    return out.astype(np.float32)
+
+
+def _bary_rows_batch(p):
+    """(F, 3, 3) vertex positions -> (F, 12) [n d0 gu cu gv cv] rows.
+
+    Vectorized over all faces; degenerate faces yield all-zero rows.
+    The old per-face _bary_rows dominated big-scene compiles (69 of
+    86 s at 405k faces) purely through np.cross call overhead."""
+    p0 = p[:, 0].astype(np.float64)
+    e1 = p[:, 1].astype(np.float64) - p0
+    e2 = p[:, 2].astype(np.float64) - p0
+    n = _cross_cols(e1, e2)
+    nn = (n * n).sum(axis=1)
+    ok = nn >= 1e-30
+    safe = np.where(ok, nn, 1.0)[:, None]
+    gu = _cross_cols(e2, n) / safe
+    gv = _cross_cols(n, e1) / safe
+    out = np.concatenate([
+        n, (n * p0).sum(axis=1, keepdims=True),
+        gu, -(gu * p0).sum(axis=1, keepdims=True),
+        gv, -(gv * p0).sum(axis=1, keepdims=True)], axis=1)
+    out[~ok] = 0.0
+    return out.astype(np.float32)
+
+
 def _woop_rows(p0, p1, p2):
-    """(12,) float32 [M row-major | c] for one triangle (f64 inverse)."""
-    e1 = (p1 - p0).astype(np.float64)
-    e2 = (p2 - p0).astype(np.float64)
-    n = np.cross(e1, e2)
-    a = np.stack([e1, e2, n], axis=1)       # columns e1 | e2 | n
-    det = np.linalg.det(a)
-    if abs(det) < 1e-30:
-        return np.zeros(12, np.float32)     # degenerate: auto-miss
-    m = np.linalg.inv(a)
-    c = -m @ p0.astype(np.float64)
-    return np.concatenate([m.reshape(9), c]).astype(np.float32)
+    """(12,) single-face wrapper over _woop_rows_batch (tests/tools)."""
+    return _woop_rows_batch(np.stack([p0, p1, p2])[None])[0]
 
 
 def _bary_rows(p0, p1, p2):
-    """(12,) float32 [n | d0 | gu | cu | gv | cv] for one triangle."""
-    p0 = p0.astype(np.float64)
-    e1 = p1.astype(np.float64) - p0
-    e2 = p2.astype(np.float64) - p0
-    n = np.cross(e1, e2)
-    nn = float(n @ n)
-    if nn < 1e-30:
-        return np.zeros(12, np.float32)     # degenerate: auto-miss
-    gu = np.cross(e2, n) / nn
-    gv = np.cross(n, e1) / nn
-    return np.concatenate([
-        n, [n @ p0], gu, [-gu @ p0], gv, [-gv @ p0]]).astype(np.float32)
+    """(12,) single-face wrapper over _bary_rows_batch (tests/tools)."""
+    return _bary_rows_batch(np.stack([p0, p1, p2])[None])[0]
 
 
 def pack_wide_geom(wide: 'WideBvh',
@@ -210,35 +255,48 @@ def pack_wide_geom(wide: 'WideBvh',
     old_rows = (u % LEAF_ROW_LIMIT).astype(np.int64)
     counts = (u // LEAF_ROW_LIMIT).astype(np.int64)
 
-    total_rows = int(sum(-(-c // 8) for c in counts))
+    # Fully vectorized re-blocking (the old per-face Python loop with
+    # per-face _bary_rows calls dominated big-scene compiles: 74 of
+    # 86 s at 405k faces; the bench's 1.84M-tri terrain paid ~150 s
+    # here alone). Leaf k-th faces map to geometry slots
+    # row_start[leaf] * 8 + k; everything below is index arithmetic.
+    counts = counts.astype(np.int64)
+    leaf_rows = -(-counts // 8)
+    row_start = np.concatenate([[0], np.cumsum(leaf_rows)[:-1]])
+    total_rows = int(leaf_rows.sum())
+    row0 = total_rows
     tris_g = np.zeros((max(total_rows, 1), 128), np.float32)
     attrs = np.zeros((max(total_rows, 1) * 8, ATTR5_WIDTH), np.float32)
     face_map_g = np.full(max(total_rows, 1) * 8, -1, np.int64)
-    new_metas = np.empty(len(old_rows), np.float32)
-    row0 = 0
-    for leaf, (row, count) in enumerate(zip(old_rows, counts)):
-        for k in range(count):
-            src = wide.face_map[row * TRIS_PER_ROW + k]
-            if src < 0:
-                continue
-            g = tris_g[row0 + k // 8]
-            b = GEOM5_STRIDE * (k % 8)
-            p0, p1, p2 = tri_positions[src]
-            if leaf_fmt == 'woop':
-                g[b:b + 12] = _woop_rows(p0, p1, p2)
-            elif leaf_fmt == 'bary':
-                g[b:b + 12] = _bary_rows(p0, p1, p2)
-            else:
-                g[b:b + 3] = p0
-                g[b + 3:b + 6] = p1 - p0
-                g[b + 6:b + 9] = p2 - p0
-            slot = row0 * 8 + k
-            attrs[slot, 0:9] = tri_normals[src].reshape(9)
-            attrs[slot, 9:15] = tri_uvs[src].reshape(6)
-            attrs[slot, 15] = tri_shape[src]
-            face_map_g[slot] = src
-        new_metas[leaf] = np.float32(-(count * LEAF_ROW_LIMIT + row0))
-        row0 += -(-int(count) // 8)
+    new_metas = (-(counts * LEAF_ROW_LIMIT + row_start)).astype(np.float32)
+
+    # One entry per (leaf, k < count): source face + destination slot.
+    leaf_of = np.repeat(np.arange(len(counts)), counts)
+    k = np.arange(len(leaf_of)) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    src = wide.face_map[old_rows[leaf_of] * TRIS_PER_ROW + k]
+    keep = src >= 0
+    leaf_of, k, src = leaf_of[keep], k[keep], src[keep]
+    slot = row_start[leaf_of] * 8 + k
+    r = slot // 8
+    b = GEOM5_STRIDE * (slot % 8)
+
+    p = tri_positions[src]                       # (E, 3, 3)
+    if leaf_fmt == 'woop':
+        rows12 = _woop_rows_batch(p)
+    elif leaf_fmt == 'bary':
+        rows12 = _bary_rows_batch(p)
+    else:
+        rows12 = np.concatenate(
+            [p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0],
+             np.zeros((len(src), 3), np.float32)], axis=1)
+    width_g = 12 if leaf_fmt in ('woop', 'bary') else 9
+    for j in range(width_g):
+        tris_g[r, b + j] = rows12[:, j]
+    attrs[slot, 0:9] = tri_normals[src].reshape(-1, 9)
+    attrs[slot, 9:15] = tri_uvs[src].reshape(-1, 6)
+    attrs[slot, 15] = tri_shape[src]
+    face_map_g[slot] = src
     if row0 > LEAF_ROW_LIMIT:
         raise ValueError(
             f'{row0} geometry rows exceed the {LEAF_ROW_LIMIT}-row leaf '

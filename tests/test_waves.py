@@ -94,3 +94,78 @@ def test_waves_sharded_matches_single_device(packed):
     accum = render_sharded(packed, config, rounds, mesh, seed=5)
     img_sharded = np.asarray(resolve(accum, W, H, lane=accum['lane']))
     np.testing.assert_allclose(img_sharded, img_single, atol=1e-6)
+
+
+def test_permute_rows_waves_roundtrip():
+    """Forward interleave then inverse must be the identity, and the
+    forward output must equal the brute-force definition
+    out[q * W + w] = rows[w * n1 + perm_w[w, q]]."""
+    import jax.numpy as jnp
+    from path_tracer_tpu.ops.intersect import permute_rows_waves
+
+    rng = np.random.default_rng(3)
+    W_, n1 = 4, 96
+    n = W_ * n1
+    rows = [jnp.asarray(rng.normal(0, 1, n).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 1 << 20, n).astype(np.int32)),
+            jnp.asarray(rng.normal(0, 1, n).astype(np.float32))]
+    key = rng.integers(0, 999, n)
+    perm_w = jnp.asarray(
+        np.argsort(key.reshape(W_, n1), axis=1).astype(np.int32))
+    inv_w = jnp.argsort(perm_w, axis=1)
+
+    fwd = permute_rows_waves(rows, perm_w)
+    pw = np.asarray(perm_w)
+    for r, f in zip(rows, fwd):
+        r, f = np.asarray(r), np.asarray(f)
+        expect = np.empty_like(r)
+        for w in range(W_):
+            expect[np.arange(n1) * W_ + w] = r[w * n1 + pw[w]]
+        np.testing.assert_array_equal(f, expect)
+
+    back = permute_rows_waves(fwd, inv_w, inverse=True)
+    for r, b in zip(rows, back):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_interleaved_sort_trace_matches_unsorted():
+    """trace(sort_packets=True, sort_waves=W) in interpret mode must
+    reproduce the unsorted kernel's hits lane for lane (the interleave
+    is a pure performance permutation)."""
+    import jax.numpy as jnp
+    from path_tracer_tpu.ops.intersect import SceneLayout, trace
+    from path_tracer_tpu.scene import compile as compile_mod
+    from path_tracer_tpu.scene.model import (
+        ENTITY_TYPE_CAMERA, ENTITY_TYPE_MESH_INSTANCE, Scene)
+
+    rng = np.random.default_rng(11)
+    scene = Scene()
+    pos = rng.normal(0, 1, (40, 3)).astype(np.float32)
+    f = rng.integers(0, 40, (48, 3)).astype(np.int32)
+    nrm = rng.normal(0, 1, (40, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    uv = rng.uniform(0, 1, (40, 2)).astype(np.float32)
+    mesh = scene.create_mesh(name='blob', positions=pos, normals=nrm,
+                             uvs=uv, faces=f)
+    scene.create_entity(ENTITY_TYPE_CAMERA)
+    mat = scene.create_material(1)
+    e = scene.create_entity(ENTITY_TYPE_MESH_INSTANCE, mesh=mesh,
+                            material=mat)
+    e.transform.scale = np.float32(2.0) * np.ones(3, np.float32)
+    packed = compile_mod.compile_scene(scene)
+    layout = SceneLayout.from_packed(packed)
+    assert layout.packet_mode == 'inst' and layout.inst_fit
+
+    n = 4 * 512
+    o = jnp.asarray(rng.uniform(-4, 4, (3, n)).astype(np.float32))
+    d = rng.normal(0, 1, (3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    d = jnp.asarray(d)
+
+    plain = trace(packed, layout, o, d, use_packet=True, interpret=True)
+    inter = trace(packed, layout, o, d, use_packet=True, interpret=True,
+                  sort_packets=True, sort_waves=4)
+    for key in ('time', 'shape', 'primitive'):
+        np.testing.assert_array_equal(np.asarray(plain[key]),
+                                      np.asarray(inter[key]))

@@ -61,13 +61,14 @@ def sweep(name, scene, waves_list=(1, 2, 4, 8), rounds=24, camera_model=0):
         print(f'#   waves={waves}  {done} rounds  {dt:7.2f}s  '
               f'{rays / dt / 1e6:7.2f} Mrays/s  '
               f'{(count - warm_count) / dt / 1e6:6.2f} Msamples/s  '
-              f't64 ~{t64:6.1f}s  ({dt / done * 1e3:.1f} ms/round)')
+              f't64 ~{t64:6.1f}s  ({dt / done * 1e3:.1f} ms/round)',
+              flush=True)
         del state
 
 
 def main():
-    sweep('viking_hall', make_viking_hall_scene(detail=1))
-    sweep('cornell', make_cornell_scene(), waves_list=(1, 4))
+    waves = tuple(int(w) for w in sys.argv[1:]) or (1, 2, 4, 8)
+    sweep('viking_hall', make_viking_hall_scene(detail=1), waves_list=waves)
 
 
 if __name__ == '__main__':
