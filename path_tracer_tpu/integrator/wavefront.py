@@ -114,6 +114,11 @@ class RenderConfig:
     # Costs waves x state memory (~250 MB per wave at 1080p); resolve
     # folds the waves per pixel.
     waves: int = 1
+    # TEST knob: run the Pallas packet kernel in interpret mode (pure
+    # JAX, any backend) so CPU tests can exercise the packet + in-trace
+    # coherence-sort path end-to-end -- e.g. the sharded mesh-scene
+    # equality tests, where the production path only exists on TPU.
+    packet_interpret: bool = False
 
 
 # Minimum world triangle SLOTS (wide-leaf rows x 8, counting padding --
@@ -221,7 +226,9 @@ def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
         rng = Rng(rs['rng_state'])
         hit = trace(packed, layout, rs['origin'], rs['direction'],
                     sort_packets=sort_each_round,
-                    sort_block=config.sort_block, sort_waves=sort_waves)
+                    sort_block=config.sort_block, sort_waves=sort_waves,
+                    use_packet=True if config.packet_interpret else None,
+                    interpret=config.packet_interpret)
         path, origin, direction, alive = scatter(
             packed, rs['path'], rs['origin'], rs['direction'], hit, rng,
             termination_probability, layout)

@@ -95,18 +95,23 @@ def permute_rows_waves(rows, perm_w, inverse=False):
     per-wave sort permutations (inverse=False) or their inverses
     (inverse=True).
 
-    Forward: out[q * W + w] = rows[w * n1 + perm_w[w, q]] -- each wave
-    is sorted by its own key order and the W sorted streams are
-    INTERLEAVED rank by rank. Waves are iid samples of the same
-    wavefront distribution, so rank q of every wave sits at the same
-    key quantile: a 3072-ray packet of consecutive interleaved lanes
-    spans only ~1/W of the key range, which is exactly the leaf-union
-    density win of a GLOBAL sort (tools/exp_density.py) -- without its
-    cost cliff. The single global (N, 8) packed gather leaves XLA's
-    VMEM-staged fast path once the operand passes ~64 MB: 10 ms at 2M
-    lanes but 83 ms at 4M and 165 at 8M (tools/exp_waves3.py). Here
-    every gather operand stays (n1, 8) = 64 MB at 1080p waves, and the
-    interleave itself is a transpose (HBM-bandwidth, not per-index).
+    Forward: each wave is sorted by its own key order and the W sorted
+    streams are INTERLEAVED at 128-lane-row granularity -- output row
+    q * W + w is wave w's rank-rows [q*128, q*128+128). Waves are iid
+    samples of the same wavefront distribution, so same-rank rows of
+    every wave sit at the same key quantile: a 3072-ray packet of
+    consecutive interleaved rows spans ~1/W of the key range, the
+    leaf-union density win of a GLOBAL sort (tools/exp_density.py) --
+    without its cost cliff. The single global (N, 8) packed gather
+    leaves XLA's VMEM-staged fast path once the operand passes ~64 MB
+    (10 ms at 2M lanes, 83 at 4M, 165 at 8M, tools/exp_waves3.py);
+    here every gather operand stays one wave wide, and the interleave
+    is a tile-aligned row transpose (HBM bandwidth, not per-index).
+    Caveat measured in tools/exp_waves5.py: rank alignment across iid
+    waves carries order-statistic noise of ~sqrt(n1) ranks, which is
+    within a packet's span at W = 2 (pops match the global sort) but
+    exceeds it at W = 4 (+45% pops); trace() therefore caps the
+    interleave at 2 waves per stream unless a repair pass runs.
 
     Inverse: rows are in interleaved order; returns wave-major lane
     order via out[w * n1 + j] = rows[rank_of_j_in_wave_w * W + w].
@@ -116,22 +121,34 @@ def permute_rows_waves(rows, perm_w, inverse=False):
     n = rows[0].shape[0]
     w_count, n1 = perm_w.shape
     assert n == w_count * n1, (n, perm_w.shape)
+    assert n1 % 128 == 0, n1
+    rows1 = n1 // 128
     cast = [r if r.dtype == jnp.float32
             else jax.lax.bitcast_convert_type(r, jnp.float32) for r in rows]
     matrix = jnp.stack(
         cast + [jnp.zeros(n, jnp.float32)] * (width - k), axis=0)
+
+    def row_interleave(m, undo):
+        # (width, N) wave-major <-> 128-lane-row interleaved: element
+        # moves are whole 128-lane rows, so the transpose is
+        # tile-aligned (HBM bandwidth) -- the earlier LANE-granular
+        # moveaxis had minor dim `width` and cost ~50 ms at 4M lanes.
+        if undo:   # interleaved (rows1, W) row-blocks -> wave-major
+            x = m.reshape(width, rows1, w_count, 128)
+        else:      # wave-major (W, rows1) row-blocks -> interleaved
+            x = m.reshape(width, w_count, rows1, 128)
+        return jnp.swapaxes(x, 1, 2).reshape(width, n)
+
     if inverse:
-        # interleaved (n1, W, width) -> per-wave rank order (W, n1, width)
-        waves = jnp.moveaxis(matrix.T.reshape(n1, w_count, width), 1, 0)
-    else:
-        waves = matrix.T.reshape(w_count, n1, width)
+        # interleaved row order -> per-wave rank order, then un-sort
+        # each wave back to lane order.
+        matrix = row_interleave(matrix, undo=True)
+    waves = matrix.T.reshape(w_count, n1, width)
     parts = [jnp.take(waves[w], perm_w[w], axis=0) for w in range(w_count)]
-    stacked = jnp.stack(parts, axis=0)           # (W, n1, width)
-    if inverse:
-        flat = stacked.reshape(n, width)         # wave-major lane order
-    else:
-        flat = jnp.moveaxis(stacked, 0, 1).reshape(n, width)  # interleave
+    flat = jnp.stack(parts, axis=0).reshape(n, width)  # wave-major
     out = flat.T
+    if not inverse:
+        out = row_interleave(out, undo=False)
     return [out[i] if rows[i].dtype == jnp.float32
             else jax.lax.bitcast_convert_type(out[i], rows[i].dtype)
             for i in range(k)]
@@ -938,7 +955,8 @@ def trace(packed, layout: SceneLayout, origin, direction,
             # valid when the lane layout is whole wave-major waves
             # (the sharded driver's shards are wave fragments: W = 1).
             W = (int(sort_waves)
-                 if sort_waves > 1 and G == 1 and n % sort_waves == 0
+                 if (sort_waves > 1 and G == 1 and n % sort_waves == 0
+                     and (n // sort_waves) % 128 == 0)
                  else 1)
             if W > 1:
                 perm_w = jnp.argsort(key.reshape(W, n // W), axis=1)

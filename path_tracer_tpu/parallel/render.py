@@ -5,9 +5,9 @@ semaphores between queues (SURVEY.md section 2.3). The TPU-native
 scaling axes are:
 
   * `pixels`: the framebuffer's path lanes are sharded across devices
-    (each device owns a contiguous pixel slice -- the analogue of tiling
-    the wavefront SSBOs). No collectives in the hot loop; the image is
-    assembled from shards at resolve.
+    (each device owns a contiguous slice of the slot space -- the
+    analogue of tiling the wavefront SSBOs). No collectives in the hot
+    loop; the image is assembled from shards at resolve.
   * `batch`: every device renders the full image with an independent
     sample stream; per-device accumulators are merged with a psum.
     This is BASELINE.json's "progressive accumulation sharded across a
@@ -16,6 +16,13 @@ scaling axes are:
 Both compose on a 2D ('batch', 'pixels') mesh: lanes shard over the
 pixel axis, seeds decorrelate over the batch axis, and the accumulator
 psum rides the batch axis only.
+
+The render state itself lives SHARDED on-device between calls: the
+global state pytree stacks every (batch, pixel-shard) state along the
+lane axis (n_batch * config.waves * W * H lanes total), so a sharded
+render is progressive and resumable exactly like the single-chip path
+-- pass the returned state back via `state=`, or through
+integrator.checkpoint save/load (the state is one pytree of arrays).
 """
 
 from __future__ import annotations
@@ -28,7 +35,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..core.sampling import Rng
 from ..integrator.wavefront import (
     RenderConfig, render_rounds, reset, wants_sort)
 from ..ops.intersect import SceneLayout
@@ -50,55 +56,99 @@ def make_mesh(devices=None, batch=1, pixels=None):
     return Mesh(arr, ('batch', 'pixels'))
 
 
+def _lane_specs(tree):
+    """PartitionSpec pytree: every state leaf is lane-sharded on its
+    LAST axis over both mesh axes (batch-major: the global state
+    concatenates batch replicas, each wave-major over slots)."""
+    return jax.tree_util.tree_map(
+        lambda x: P(*([None] * (x.ndim - 1) + [('batch', 'pixels')])), tree)
+
+
+def reset_sharded(packed, config: RenderConfig, mesh: Mesh, seed=0):
+    """Fresh sharded render state: n_batch independent sample streams of
+    the config.waves * W * H slot space, lane-sharded over 'pixels'."""
+    n = config.waves * config.width * config.height
+    n_batch = mesh.shape['batch']
+    assert n % mesh.shape['pixels'] == 0, (n, mesh.shape)
+    slot = jnp.arange(n, dtype=jnp.int32)
+    seeds = (jnp.asarray(seed, jnp.uint32)
+             + jnp.arange(n_batch, dtype=jnp.uint32))
+
+    template = jax.eval_shape(
+        lambda s: reset(packed, config, jnp.uint32(0), s),
+        jax.ShapeDtypeStruct((n // mesh.shape['pixels'],), jnp.int32))
+    out_specs = _lane_specs(template)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P('pixels'), P('batch')),
+             out_specs=out_specs, check_vma=False)
+    def run(packed_rep, slot_shard, seed_shard):
+        return reset(packed_rep, config, seed_shard[0], slot_shard)
+
+    return jax.jit(run)(packed, slot, seeds)
+
+
+def render_sharded_state(packed, config: RenderConfig, rounds, mesh: Mesh,
+                         state, termination_probability=0.05, layout=None):
+    """Advance a sharded render state by `rounds` wavefront rounds.
+
+    Pure and resumable: feed the result back in to continue progressive
+    accumulation (the multi-chip analogue of wavefront.render(state=)).
+    The per-round coherence sort runs shard-locally (a shard's own
+    lanes only, so it composes with shard_map; results are identical
+    because trace un-permutes its outputs internally)."""
+    layout = layout or SceneLayout.from_packed(packed)
+    specs = _lane_specs(state)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), specs, P()),
+             out_specs=specs, check_vma=False)
+    def run(packed_rep, state_shard, term):
+        return render_rounds(packed_rep, layout, config, state_shard, term,
+                             rounds, sort_each_round=wants_sort(config,
+                                                                layout))
+
+    return jax.jit(run)(packed, state, jnp.float32(termination_probability))
+
+
+def merge_accumulator(mesh: Mesh, state):
+    """Global accumulator from a sharded state: psum over the batch
+    replicas, lane-aligned (each batch row's slots are reordered to
+    slot order first -- the state is never permuted by the render loop,
+    so this is a safety net, not a hot path)."""
+    specs = _lane_specs(state)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(specs,),
+             out_specs=(P(None, 'pixels'), P('pixels'), P('pixels')),
+             check_vma=False)
+    def run(state_shard):
+        order = jnp.argsort(state_shard['lane'], stable=True)
+        xyz = jax.lax.psum(state_shard['accum']['xyz'][:, order], 'batch')
+        count = jax.lax.psum(state_shard['accum']['count'][order], 'batch')
+        return xyz, count, state_shard['lane'][order]
+
+    xyz, count, lane = jax.jit(run)(state)
+    return dict(xyz=xyz, count=count, lane=lane)
+
+
 def render_sharded(packed, config: RenderConfig, rounds, mesh: Mesh,
-                   seed=0, termination_probability=0.05, layout=None):
+                   seed=0, termination_probability=0.05, layout=None,
+                   state=None, return_state=False):
     """Render `rounds` wavefront rounds sharded over `mesh`.
 
-    Returns a global accumulator dict (xyz (N,3), count (N,)) for the
-    full image, already psum-merged over the batch axis. The scene is
-    replicated; path state lives sharded on-device for the whole loop.
-    """
+    Returns the merged global accumulator dict (xyz (3, N), count (N,),
+    lane (N,)) -- psum-merged over the batch axis and resolvable by
+    integrator.resolve. With return_state=True, returns
+    (accumulator, state); pass the state back via `state=` to continue
+    progressive accumulation mid-flight (checkpointable between calls
+    with integrator.checkpoint save/load like the single-chip state)."""
     layout = layout or SceneLayout.from_packed(packed)
-    # The sharded axis is the SLOT space: config.waves independent
-    # sample waves of the pixel grid (slot = wave * n_pixels + lane;
-    # wavefront.reset derives lane and RNG stream from the slot, so any
-    # partition reproduces the single-device state slot-for-slot).
-    n = config.waves * config.width * config.height
-    n_pixel_shards = mesh.shape['pixels']
-    n_batch = mesh.shape['batch']
-    assert n % n_pixel_shards == 0, (n, n_pixel_shards)
-
-    slot = jnp.arange(n, dtype=jnp.int32)
-    # Per-batch-row seeds decorrelate sample streams.
-    seeds = jnp.asarray(seed, jnp.uint32) + jnp.arange(n_batch, dtype=jnp.uint32)
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P('pixels'), P('batch')),
-        out_specs=(P(None, 'pixels'), P('pixels'), P('pixels')),
-        check_vma=False,
-    )
-    def run(packed_rep, slot_shard, seed_shard):
-        state = reset(packed_rep, config, seed_shard[0], slot_shard)
-        # Same driver semantics as the single-chip path: the coherence
-        # sort runs every round, shard-locally (it permutes a shard's
-        # own lanes only, so it composes with shard_map; the psum merge
-        # below re-aligns by lane id anyway).
-        state = render_rounds(packed_rep, layout, config, state,
-                              jnp.float32(termination_probability), rounds,
-                              sort_each_round=wants_sort(config, layout))
-        # Batch rows sort identically (same lanes, same seeds per row?
-        # no -- rows have different streams), so slots can differ per
-        # row; psum merging therefore requires slot-aligned lanes.
-        # Un-permute each shard back to lane order before the psum.
-        order = jnp.argsort(state['lane'])
-        xyz = state['accum']['xyz'][:, order]
-        count = state['accum']['count'][order]
-        lane_sorted = state['lane'][order]
-        xyz = jax.lax.psum(xyz, 'batch')
-        count = jax.lax.psum(count, 'batch')
-        return xyz, count, lane_sorted
-
-    xyz, count, lane = jax.jit(run)(packed, slot, seeds)
-    return dict(xyz=xyz, count=count, lane=lane)
+    if state is None:
+        state = reset_sharded(packed, config, mesh, seed)
+    state = render_sharded_state(packed, config, rounds, mesh, state,
+                                 termination_probability, layout)
+    accum = merge_accumulator(mesh, state)
+    if return_state:
+        return accum, state
+    return accum

@@ -71,3 +71,88 @@ def test_batch_rows_decorrelated():
     # More samples -> lower noise: the 8-way image should differ from the
     # 1-way one (decorrelated streams actually contributed).
     assert np.abs(img8 - img1).max() > 1e-4
+
+
+@pytest.mark.slow
+def test_sharded_resume_bitwise():
+    """render_sharded(state=) must compose: 8+8 rounds through a
+    returned state equals 16 rounds in one call, bitwise (VERDICT
+    round-3 missing item 4: multi-chip renders must be continuable)."""
+    scene = make_cornell_scene()
+    packed = compile_scene(scene, aspect_ratio=2.0)
+    config = RenderConfig(width=32, height=16)
+    mesh = make_mesh(jax.devices()[:8], batch=2, pixels=4)
+
+    one_call = render_sharded(packed, config, 16, mesh, seed=4)
+
+    first, state = render_sharded(packed, config, 8, mesh, seed=4,
+                                  return_state=True)
+    resumed = render_sharded(packed, config, 8, mesh, seed=4, state=state)
+    np.testing.assert_array_equal(np.asarray(one_call['xyz']),
+                                  np.asarray(resumed['xyz']))
+    np.testing.assert_array_equal(np.asarray(one_call['count']),
+                                  np.asarray(resumed['count']))
+    # And the first half really was a prefix (fewer samples).
+    assert float(jnp.sum(first['count'])) < float(jnp.sum(resumed['count']))
+
+
+@pytest.mark.slow
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """A sharded state survives checkpoint save/load mid-flight: the
+    resumed render equals the uninterrupted one bitwise."""
+    from path_tracer_tpu.integrator.checkpoint import (
+        load_render_state, save_render_state)
+
+    scene = make_cornell_scene()
+    packed = compile_scene(scene, aspect_ratio=2.0)
+    config = RenderConfig(width=32, height=16)
+    mesh = make_mesh(jax.devices()[:8], batch=1, pixels=8)
+
+    _, state = render_sharded(packed, config, 6, mesh, seed=9,
+                              return_state=True)
+    path = tmp_path / 'shard_ckpt.npz'
+    save_render_state(path, state)
+    restored = load_render_state(path, state)
+    a = render_sharded(packed, config, 6, mesh, seed=9, state=state)
+    b = render_sharded(packed, config, 6, mesh, seed=9, state=restored)
+    np.testing.assert_array_equal(np.asarray(a['xyz']), np.asarray(b['xyz']))
+
+
+@pytest.mark.slow
+def test_mesh_scene_sharded_matches_single():
+    """Pixel-sharding a MESH scene through the packet kernel + the
+    shard-local coherence sort (interpret mode on the CPU mesh) must
+    return each lane its own ray's result: per-lane equality vs the
+    single-device render up to packet-composition tie-breaks (<0.5%%
+    of lanes on shared mesh edges), never scrambled placement."""
+    from path_tracer_tpu.integrator.wavefront import render
+    from path_tracer_tpu.scene.model import (
+        ENTITY_TYPE_CAMERA, ENTITY_TYPE_MESH_INSTANCE, Scene)
+
+    rng = np.random.default_rng(5)
+    scene = Scene()
+    pos = rng.normal(0, 1.5, (60, 3)).astype(np.float32)
+    faces = rng.integers(0, 60, (96, 3)).astype(np.int32)
+    nrm = rng.normal(0, 1, (60, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    uv = rng.uniform(0, 1, (60, 2)).astype(np.float32)
+    mesh_asset = scene.create_mesh(name='blob', positions=pos, normals=nrm,
+                                   uvs=uv, faces=faces)
+    scene.create_entity(ENTITY_TYPE_CAMERA)
+    mat = scene.create_material(1)
+    scene.create_entity(ENTITY_TYPE_MESH_INSTANCE, mesh=mesh_asset,
+                        material=mat)
+    packed = compile_scene(scene, aspect_ratio=2.0)
+
+    config = RenderConfig(width=32, height=16, packet_interpret=True)
+    single = render(packed, config, 6, seed=2)
+    img_single = _accum_image(single['accum'], 32, 16, lane=single['lane'])
+
+    mesh = make_mesh(jax.devices()[:4], batch=1, pixels=4)
+    accum = render_sharded(packed, config, 6, mesh, seed=2)
+    img_shard = _accum_image(accum, 32, 16, lane=accum['lane'])
+
+    same = np.isclose(img_shard, img_single, atol=1e-6).mean()
+    assert same > 0.995, same
+    # Gross placement corruption would differ at ~every lit pixel.
+    assert np.abs(img_shard - img_single).mean() < 1e-3

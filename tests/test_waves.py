@@ -98,13 +98,15 @@ def test_waves_sharded_matches_single_device(packed):
 
 def test_permute_rows_waves_roundtrip():
     """Forward interleave then inverse must be the identity, and the
-    forward output must equal the brute-force definition
-    out[q * W + w] = rows[w * n1 + perm_w[w, q]]."""
+    forward output must equal the brute-force row-granular definition:
+    output 128-lane row q * W + w holds wave w's sorted ranks
+    [q*128, (q+1)*128)."""
     import jax.numpy as jnp
     from path_tracer_tpu.ops.intersect import permute_rows_waves
 
     rng = np.random.default_rng(3)
-    W_, n1 = 4, 96
+    W_, rows1 = 4, 3
+    n1 = rows1 * 128
     n = W_ * n1
     rows = [jnp.asarray(rng.normal(0, 1, n).astype(np.float32)),
             jnp.asarray(rng.integers(0, 1 << 20, n).astype(np.int32)),
@@ -118,9 +120,9 @@ def test_permute_rows_waves_roundtrip():
     pw = np.asarray(perm_w)
     for r, f in zip(rows, fwd):
         r, f = np.asarray(r), np.asarray(f)
-        expect = np.empty_like(r)
-        for w in range(W_):
-            expect[np.arange(n1) * W_ + w] = r[w * n1 + pw[w]]
+        sorted_w = np.stack([r[w * n1 + pw[w]] for w in range(W_)])
+        expect = (sorted_w.reshape(W_, rows1, 128)
+                  .swapaxes(0, 1).reshape(n))
         np.testing.assert_array_equal(f, expect)
 
     back = permute_rows_waves(fwd, inv_w, inverse=True)
