@@ -102,6 +102,12 @@ def tables_fit_vmem(nodes, tris_g, inst_rows):
             + inst_rows.size) * 4 <= VMEM_TABLE_LIMIT_BYTES
 
 
+# Fraction of the streaming residency budget that node rows claim
+# before leaf rows get the remainder (A/B knob, tools/exp_resid.py;
+# flip + _inst_trace.clear_cache() to re-specialize).
+RES_NODES_FRAC = 0.75
+
+
 def residency_split(nodes_shape, tris_shape, inst_shape):
     # Static (res_nodes, res_tris) rows kept VMEM-resident, or None if
     # the scene is too oversubscribed to stream profitably. Node rows
@@ -115,7 +121,7 @@ def residency_split(nodes_shape, tris_shape, inst_shape):
         return n_nodes, n_tris
     if (n_nodes + n_tris) > STREAM_LIMIT_FACTOR * budget_rows:
         return None
-    res_nodes = min(n_nodes, (3 * budget_rows) // 4)
+    res_nodes = min(n_nodes, int(RES_NODES_FRAC * budget_rows))
     res_tris = max(budget_rows - res_nodes, 0)
     return res_nodes, min(res_tris, n_tris)
 
@@ -840,7 +846,9 @@ def _inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
             if (res_nodes < nodes.shape[0] or res_tris < tris_g.shape[0])
             else [pltpu.SemaphoreType.DMA((3,))]),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=max(100 * 1024 * 1024,
+                                 VMEM_TABLE_LIMIT_BYTES
+                                 + 16 * 1024 * 1024)),
         interpret=interpret,
     )(nodes, tris_g, inst_rows,
       o[0], o[1], o[2], d[0], d[1], d[2], t_in.reshape(shape2))

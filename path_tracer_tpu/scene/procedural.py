@@ -149,6 +149,37 @@ def viking_hall_mesh(detail=1):
     return merge_meshes(parts)
 
 
+def wood_grain_texture(size=1024, seed=5):
+    """Procedural wood-grain albedo, (size, size, 4) float32.
+
+    Concentric growth rings warped by low-frequency sine turbulence
+    plus fine along-grain streaks -- deterministic, so the flagship
+    bench scene's per-hit texture taps are reproducible. Mirrors the
+    role of the Viking room's 4096^2 diffuse atlas in the reference's
+    signature scene (README screenshot; sampled per hit at
+    scene.glsl.inc:181-205)."""
+    rs = np.random.RandomState(seed)
+    x = (np.arange(size) + 0.5) / size
+    u, v = np.meshgrid(x, x, indexing='ij')
+    turb = np.zeros_like(u)
+    ph = rs.rand(5, 2) * 2 * np.pi
+    fr = rs.rand(5, 2) * 9 + 2
+    for k in range(5):
+        turb += np.sin(fr[k, 0] * u * 2 * np.pi + ph[k, 0]) \
+            * np.sin(fr[k, 1] * v * 2 * np.pi + ph[k, 1]) / (k + 1.5)
+    r = np.hypot(u - 0.35, (v - 0.6) * 2.0)
+    rings = 0.5 + 0.5 * np.sin(2 * np.pi * (22.0 * r + 0.35 * turb))
+    rings = rings ** 2.2
+    streaks = 0.08 * np.sin(260.0 * v * 2 * np.pi
+                            + 3.0 * np.sin(u * 11 * np.pi))
+    t = np.clip(rings + streaks, 0.0, 1.0)[..., None]
+    dark = np.asarray([0.26, 0.155, 0.085], np.float32)
+    light = np.asarray([0.56, 0.40, 0.225], np.float32)
+    rgb = dark * t + light * (1.0 - t)
+    alpha = np.ones((size, size, 1), np.float32)
+    return np.concatenate([rgb.astype(np.float32), alpha], -1)
+
+
 def gradient_sky_texture(width=256, height=128, horizon=(1.0, 0.7, 0.4),
                          zenith=(0.3, 0.5, 1.0), sun_dir=(0.4, 0.3, 0.85),
                          sun_intensity=50.0):
@@ -276,22 +307,40 @@ def make_sphere_array_scene():
     return scene
 
 
-def make_viking_hall_scene(detail=1, with_sky=True):
-    """Config 3: triangle-mesh interior + BVH + HDR skybox."""
+def make_viking_hall_scene(detail=1, with_sky=True, textured=True):
+    """Config 3: triangle-mesh interior + BVH + HDR skybox.
+
+    textured=True (the default and the headline configuration since
+    round 4) gives the hall material a 1024^2 wood-grain base texture
+    and a 2048x1024 HDR sky, so every mesh hit pays a real per-hit
+    atlas tap and the skybox taps sample a production-size panorama --
+    matching the reference's signature textured Viking-room workload
+    (scene.glsl.inc:181-205; its .hdr imports are 4096^2 layers,
+    scene.cpp:1119-1233). textured=False keeps the round-3
+    constant-color variant for A/B measurement."""
     scene = Scene()
     p, n, u, f = viking_hall_mesh(detail)
     mesh = scene.create_mesh(name='viking-hall', positions=p, normals=n,
                              uvs=u, faces=f)
+    wood_kwargs = dict(base_color=np.asarray([0.45, 0.31, 0.18]))
+    if textured:
+        from ..core.constants import TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA
+        grain = scene.create_texture(
+            name='wood-grain', type=TEXTURE_TYPE_REFLECTANCE_WITH_ALPHA,
+            pixels=wood_grain_texture(1024))
+        wood_kwargs = dict(base_color=np.asarray([0.9, 0.9, 0.9]),
+                           base_texture=grain)
     wood = scene.create_material(MATERIAL_TYPE_BASIC_DIFFUSE, name='wood',
-                                 base_color=np.asarray([0.45, 0.31, 0.18]))
+                                 **wood_kwargs)
     scene.create_entity(ENTITY_TYPE_MESH_INSTANCE, mesh=mesh, material=wood)
     cam = scene.create_entity(
         ENTITY_TYPE_CAMERA,
         transform=Transform(position=[0.0, -6.5, 2.4], rotation=[np.pi / 2.2, 0, 0]))
     cam.pinhole.field_of_view_in_degrees = 70.0
     if with_sky:
+        size = (2048, 1024) if textured else (256, 128)
         sky = scene.create_texture(name='sky', type=TEXTURE_TYPE_RADIANCE,
-                                   pixels=gradient_sky_texture())
+                                   pixels=gradient_sky_texture(*size))
         scene.root.skybox_texture = sky
         scene.root.skybox_sampling_probability = 0.25
     return scene

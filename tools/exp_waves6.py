@@ -41,7 +41,7 @@ from path_tracer_tpu.scene.procedural import make_viking_hall_scene
 
 WIDTH, HEIGHT = 1920, 1080
 REPS = 5
-CHUNK = 32768
+CHUNK = 30720  # 10 packets; divides 1080p wave multiples (3072 * 675 * W)
 
 
 def timed(label, fn, *args):
@@ -82,7 +82,7 @@ def main():
     packed = compile_scene(scene, aspect_ratio=WIDTH / HEIGHT)
     layout = SceneLayout.from_packed(packed)
     out = {}
-    for waves in (2, 4, 8):
+    for waves in (int(os.environ.get('EXP_WAVES', 4)),):
         config = RenderConfig(width=WIDTH, height=HEIGHT, waves=waves)
         state = wf.render(packed, config, 24, seed=0, layout=layout)
         o, d = state['origin'], state['direction']
