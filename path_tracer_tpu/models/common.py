@@ -63,7 +63,39 @@ def sample_texture(packed, texture_index, uv, atlas_size,
     # (tools/exp_skytap3.py) -- the fused round program was already
     # neutral (XLA fuses the transpose there; bench unchanged), so this
     # pays in the standalone stage jits (viewer preview, tools).
-    if use_quad:
+    if use_quad == 'pair':
+        # bf16 texel-pair rows [c(x,y) | c(x,y+1)]: TWO gathers per
+        # bilinear tap (left column pair + right column pair) from an
+        # operand small enough for the gather fast path where the f32
+        # quad table is 4x over budget (production-size atlases;
+        # scene/compile.py _build_atlas_pair). Corner clamping matches
+        # the 4-gather path exactly; texels are bf16-rounded.
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
+        fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
+        x0c = jnp.clip(x0, 0, size - 1)
+        x1c = jnp.clip(x0 + 1, 0, size - 1)
+        y0c = jnp.clip(y0, 0, size - 1)
+        base_i = (layer * size + y0c) * size
+        pl = jnp.take(packed.atlas_pair, base_i + x0c,
+                      axis=0).astype(jnp.float32)          # (N, 8)
+        pr = jnp.take(packed.atlas_pair, base_i + x1c,
+                      axis=0).astype(jnp.float32)
+        c00, c01 = pl[..., 0:4], pl[..., 4:8]
+        c10, c11 = pr[..., 0:4], pr[..., 4:8]
+        linear = nearest = None
+        if has_bilinear:
+            linear = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+                      + (c01 * (1 - fx) + c11 * fx) * fy)  # (N, 4)
+        if has_nearest:
+            xn = jnp.clip(jnp.round(x).astype(jnp.int32), 0, size - 1)
+            yn = jnp.clip(jnp.round(y).astype(jnp.int32), 0, size - 1)
+            sx = (xn > x0c)[..., None]
+            sy = (yn > y0c)[..., None]
+            nearest = jnp.where(sx & sy, c11,
+                                jnp.where(sx, c10, jnp.where(sy, c01, c00)))
+    elif use_quad:
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
         # Forcing the fraction to 0 when floor clips below 0 reproduces

@@ -243,9 +243,13 @@ class SceneLayout:
     # (has_bilinear, has_nearest): which filter paths any texture in the
     # scene actually uses; sample_texture skips the other entirely.
     texture_filter_modes: Tuple[bool, bool] = (True, True)
-    # Whether the precomputed 2x2-quad atlas exists (small atlases):
-    # bilinear taps then cost one gather instead of four.
-    atlas_quad_fit: bool = False
+    # Bilinear tap strategy (static): 'quad' = the precomputed
+    # 2x2-quad table exists (small atlases; ONE gather per tap),
+    # 'pair' = the bf16 texel-pair table exists (big atlases; TWO
+    # gathers, operand under the XLA gather cliff), False = 4 corner
+    # gathers from the flat f32 atlas. Truthiness preserved for the
+    # old boolean call sites.
+    atlas_quad_fit: object = False
     # Static count of world-space triangle SLOTS in the wide tables
     # (leaf rows x 8, INCLUDING padding slots -- sparsely filled leaves
     # inflate this above the true face count). Drives the
@@ -319,7 +323,9 @@ class SceneLayout:
             atlas_size=int(packed.atlas_size),
             texture_filter_modes=_filter_modes_from_flags(
                 np.asarray(packed.texture_flags)),
-            atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
+            atlas_quad_fit=('quad' if packed.atlas_quad.shape[0] > 1 else
+                            'pair' if packed.atlas_pair.shape[0] > 1
+                            else False),
             wide_face_slots=int(packed.wide_tris_g.shape[0]) * 8,
             has_opacity=bool((np.asarray(packed.materials.opacity) < 1.0).any()),
             wide_fit=trace_packet.tables_fit_vmem(packed.wide_nodes_g,
@@ -437,7 +443,9 @@ def build_layout_host(scene, packed):
         texture_filter_modes=(True, True) if generic else _filter_modes(
             [t.enable_nearest_filtering for t in scene.textures
              if t.pixels is not None]),
-        atlas_quad_fit=packed.atlas_quad.shape[0] > 1,
+        atlas_quad_fit=('quad' if packed.atlas_quad.shape[0] > 1 else
+                            'pair' if packed.atlas_pair.shape[0] > 1
+                            else False),
         wide_face_slots=wide_slots,
         has_opacity=generic or any(getattr(m, 'opacity', 1.0) < 1.0
                                    for m in scene.materials),

@@ -242,6 +242,10 @@ class PackedScene:
     # fits ATLAS_QUAD_LIMIT_BYTES (big atlases fall back to 4 gathers);
     # (1, 16) dummy otherwise.
     atlas_quad: Any             # (L*A*A, 16) float32 or (1, 16)
+    # Texel-pair rows [c(x,y) | c(x,y+1)] bfloat16: a bilinear tap is
+    # TWO gathers where the flat atlas needs four and the quad table
+    # has outgrown its budget; (1, 8) dummy when itself over budget.
+    atlas_pair: Any             # (L*A*A, 8) bfloat16 or (1, 8)
     atlas_layers: Any           # () int32 (layer count; A from field below)
     atlas_size: Any             # () int32
     texture_placement_min: Any  # (2, T)
@@ -491,6 +495,36 @@ def _build_atlas_quad(atlas):
     xyp = np.concatenate([xp[:, 1:], xp[:, -1:]], axis=1)
     quad = np.concatenate([atlas, xp, yp, xyp], axis=-1)  # (L, A, A, 16)
     return np.ascontiguousarray(quad.reshape(-1, 16)).astype(np.float32)
+
+
+# The bf16 PAIR atlas only pays past the quad budget, i.e. on
+# production-size atlases; cap it where its own operand would fall off
+# the XLA gather fast path (tools/exp_waves3.py: ~64 MB).
+ATLAS_PAIR_LIMIT_BYTES = 96 * 1024 * 1024
+
+
+def atlas_pair_fits(num_layers, size):
+    return num_layers * size * size * 8 * 2 <= ATLAS_PAIR_LIMIT_BYTES
+
+
+def _build_atlas_pair(atlas):
+    """(L, A, A, 4) atlas -> (L*A*A, 8) bfloat16 rows
+    [c(x, y), c(x, y+1)] (the y-neighbor clamped at the layer edge,
+    matching the 4-gather path's clip). A bilinear tap is then TWO row
+    gathers (left pair + right pair) from an operand that stays under
+    the XLA gather cliff where the f32 quad table (256 MB at a 2048^2
+    atlas) cannot -- measured 52 -> ~26 ms per 2M-lane tap on the
+    textured flagship. bf16 texels quantize reflectance/radiance
+    coefficients by <= 0.4% rel; SceneLayout routes taps here only for
+    atlases >= 1024^2 (small/test atlases keep exact f32 corners), and
+    the CPU portable path uses the SAME table so goldens stay
+    consistent. Returns a (1, 8) dummy when over budget."""
+    layers, size = atlas.shape[0], atlas.shape[1]
+    if not atlas_pair_fits(layers, size):
+        return np.zeros((1, 8), jnp.bfloat16)
+    yp = np.concatenate([atlas[:, 1:], atlas[:, -1:]], axis=1)
+    pair = np.concatenate([atlas, yp], axis=-1)   # (L, A, A, 8)
+    return np.ascontiguousarray(pair.reshape(-1, 8)).astype(jnp.bfloat16)
 
 
 def _build_wide_tables(instances):
@@ -1062,6 +1096,7 @@ def _compile_scene(scene, prev, aspect_ratio, spectrum_table, dirty):
         out['atlas'] = jnp.asarray(
             np.ascontiguousarray(atlas.reshape(-1, 4)))
         out['atlas_quad'] = jnp.asarray(_build_atlas_quad(atlas))
+        out['atlas_pair'] = jnp.asarray(_build_atlas_pair(atlas))
         out['atlas_layers'] = jnp.asarray(atlas.shape[0], jnp.int32)
         out['atlas_size'] = jnp.asarray(atlas.shape[1], jnp.int32)
         dirty |= SCENE_DIRTY_MATERIALS | SCENE_DIRTY_SKYBOX_TEXTURE

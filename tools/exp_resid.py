@@ -47,6 +47,7 @@ def main():
     packed = compile_scene(scene, aspect_ratio=WIDTH / HEIGHT)
     layout = SceneLayout.from_packed(packed)
     config = RenderConfig(width=WIDTH, height=HEIGHT)
+    print('# scene compiled', flush=True)
     state = wf.render(packed, config, 8, seed=0, layout=layout)
     o, d = state['origin'], state['direction']
     n = o.shape[1]
@@ -63,13 +64,14 @@ def main():
     print(f'# terrain: {n_nodes} node rows + {n_tris} leaf rows '
           f'({(n_nodes + n_tris) * 512 / MB:.0f} MB of tables)', flush=True)
 
-    arms = [
-        (64 * MB, 0.75),   # shipped
-        (64 * MB, 0.50),
-        (64 * MB, 0.875),
-        (96 * MB, 0.75),
-        (112 * MB, 0.75),
-    ]
+    all_arms = {
+        'base':  [(64 * MB, 0.75)],   # shipped
+        'frac':  [(64 * MB, 0.50), (64 * MB, 0.875)],
+        'limit': [(96 * MB, 0.75), (112 * MB, 0.75)],
+    }
+    sel = os.environ.get('EXP_ARM', 'all')
+    arms = (sum(all_arms.values(), []) if sel == 'all'
+            else all_arms[sel])
     base_t = None
     for limit, frac in arms:
         trace_inst.VMEM_TABLE_LIMIT_BYTES = limit

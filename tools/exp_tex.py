@@ -65,8 +65,35 @@ def main():
               f'({WIDTH * HEIGHT / dt / 1e3:.2f} Mrays/s)', flush=True)
         return round(dt, 1)
 
+    arm = os.environ.get('EXP_ARM', 'all')
     results = {}
-    results['prod'] = timeit('prod', make_round(layout, packed), state)
+    if arm in ('all', 'prod'):
+        results['prod'] = timeit('prod', make_round(layout, packed), state)
+
+    if arm in ('all', 'ablate'):
+        # no_wood: drop the base tap from the textured attribute set.
+        lay_nw = dataclasses.replace(
+            layout, textured_attrs=tuple(
+                a for a in layout.textured_attrs if a != 'base'))
+        results['no_wood'] = timeit('no_wood', make_round(lay_nw, packed),
+                                    state)
+        real_tap = sc.sample_skybox_radiance
+
+        def tap_const(packed_, direction, lam, has_texture=True,
+                      atlas_size=8, filter_modes=(True, True),
+                      use_quad=False):
+            return real_tap(packed_, direction, lam, False)
+
+        sc.sample_skybox_radiance = tap_const
+        try:
+            results['no_sky_tap'] = timeit(
+                'no_sky_tap', make_round(layout, packed), state)
+        finally:
+            sc.sample_skybox_radiance = real_tap
+
+    if arm not in ('all', 'quad'):
+        print(json.dumps(results))
+        return
 
     # quad512: repack the atlas quad with the limit raised.
     old_limit = compile_mod.ATLAS_QUAD_LIMIT_BYTES
@@ -84,26 +111,6 @@ def main():
     results['quad512'] = timeit('quad512', make_round(layout_q, packed_q),
                                 state_q)
 
-    # no_wood: drop the base tap from the textured attribute set.
-    lay_nw = dataclasses.replace(
-        layout, textured_attrs=tuple(
-            a for a in layout.textured_attrs if a != 'base'))
-    results['no_wood'] = timeit('no_wood', make_round(lay_nw, packed),
-                                state)
-
-    # no_sky_tap: constant sky radiance.
-    real_tap = sc.sample_skybox_radiance
-
-    def tap_const(packed_, direction, lam, has_texture=True, atlas_size=8,
-                  filter_modes=(True, True), use_quad=False):
-        return real_tap(packed_, direction, lam, False)
-
-    sc.sample_skybox_radiance = tap_const
-    try:
-        results['no_sky_tap'] = timeit('no_sky_tap',
-                                       make_round(layout, packed), state)
-    finally:
-        sc.sample_skybox_radiance = real_tap
     print(json.dumps(results))
 
 
