@@ -95,6 +95,16 @@ OCT_ORDER = True
 # scalar reads do NOT hide under the vector-bound pop). Kept gated +
 # equality-tested, default OFF.
 POP_CULL = False
+# Sign-preselected slab test: pick each axis's near/far bound column
+# ONCE per pop from the packet's shared direction sign (a lane-masked
+# roll of the (1, 128) node row) instead of computing both slab
+# crossings and reducing with per-lane min/max -- drops 6 (R, 128)
+# min/max ops per child (48 per pop). EXACT only for sign-pure packets;
+# the octant-major sort makes packets octant-pure except the <= 7
+# key-boundary packets per wavefront, so this A/B flag measures the
+# upper bound (tools/exp_signsel.py). Production use requires the
+# per-packet purity branch (see the experiment before wiring it).
+SIGN_SEL = False
 
 
 def tables_fit_vmem(nodes, tris_g, inst_rows):
@@ -132,7 +142,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             interleave, leaf_rows, tlas_rows, res_nodes, res_tris,
             n_nodes, n_tris, prefetch, width=8, leaf_fmt='mt',
             packet_rows=PACKET_ROWS, oct_order=False, pop_cull=False,
-            stats=False):
+            sign_sel=False, stats=False):
     meta_lane = NODE_LAYOUT[width]['meta']
     if stats:
         # Stats mode appends a (rows, 128) int32 output: lane 0/1/2/3 of
@@ -337,7 +347,33 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         # jnp.repeat-spelled column broadcasts are 4x SLOWER -- the
         # spelling matters). The fused (1,1)->(8,128) broadcast and
         # implicit sublane broadcast still do not lower at all.
-        tile8 = pltpu.repeat(row, R, 0)
+        if sign_sel:
+            # Reorder the row's 48 bound lanes so lanes 0..23 hold each
+            # axis's NEAR plane and 24..47 its FAR plane for this
+            # packet's shared direction sign: per-axis, keep the
+            # original lane when the direction is forward (lo is near),
+            # else take the lane 24 away (hi). ~4 (1, 128) ops per pop
+            # in exchange for dropping the 6 per-child (R, 128) min/max
+            # below. Exact only for sign-pure packets.
+            if world:
+                fj = pk[p]['fwd']
+                fx, fy, fz = (fj[0].astype(jnp.int32),
+                              fj[1].astype(jnp.int32),
+                              fj[2].astype(jnp.int32))
+            else:
+                fx, fy, fz = fwd_ref[p, 0], fwd_ref[p, 1], fwd_ref[p, 2]
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            ax_id = jax.lax.rem(lane_i, 24) // 8
+            fwd_lane = jnp.where(ax_id == 0, fx,
+                                 jnp.where(ax_id == 1, fy, fz))
+            swapped = jnp.where(lane_i < 24,
+                                pltpu.roll(row, 104, 1),  # -24 mod 128
+                                pltpu.roll(row, 24, 1))
+            row_nf = jnp.where((lane_i < 48) & (fwd_lane == 0),
+                               swapped, row)
+            tile8 = pltpu.repeat(row_nf, R, 0)
+        else:
+            tile8 = pltpu.repeat(row, R, 0)
 
         def bc(lane):
             return jnp.broadcast_to(tile8[:, lane:lane + 1], (R, 128))
@@ -345,18 +381,28 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
         t_cur = t_ref[sl, :]
         rows = []
         for ch in range(width):
-            tx0 = bc(ch) * inv_x - oinv_x
-            ty0 = bc(width + ch) * inv_y - oinv_y
-            tz0 = bc(2 * width + ch) * inv_z - oinv_z
-            tx1 = bc(3 * width + ch) * inv_x - oinv_x
-            ty1 = bc(4 * width + ch) * inv_y - oinv_y
-            tz1 = bc(5 * width + ch) * inv_z - oinv_z
-            entry = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                            jnp.minimum(ty0, ty1)),
-                                jnp.minimum(tz0, tz1))
-            exit_ = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                            jnp.maximum(ty0, ty1)),
-                                jnp.maximum(tz0, tz1))
+            if sign_sel:
+                txn = bc(ch) * inv_x - oinv_x
+                tyn = bc(width + ch) * inv_y - oinv_y
+                tzn = bc(2 * width + ch) * inv_z - oinv_z
+                txf = bc(3 * width + ch) * inv_x - oinv_x
+                tyf = bc(4 * width + ch) * inv_y - oinv_y
+                tzf = bc(5 * width + ch) * inv_z - oinv_z
+                entry = jnp.maximum(jnp.maximum(txn, tyn), tzn)
+                exit_ = jnp.minimum(jnp.minimum(txf, tyf), tzf)
+            else:
+                tx0 = bc(ch) * inv_x - oinv_x
+                ty0 = bc(width + ch) * inv_y - oinv_y
+                tz0 = bc(2 * width + ch) * inv_z - oinv_z
+                tx1 = bc(3 * width + ch) * inv_x - oinv_x
+                ty1 = bc(4 * width + ch) * inv_y - oinv_y
+                tz1 = bc(5 * width + ch) * inv_z - oinv_z
+                entry = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                                jnp.minimum(ty0, ty1)),
+                                    jnp.minimum(tz0, tz1))
+                exit_ = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                                jnp.maximum(ty0, ty1)),
+                                    jnp.maximum(tz0, tz1))
             ok = (exit_ >= entry) & (exit_ > 0.0) & (entry < t_cur)
             rows.append(jnp.min(jnp.where(ok, entry, bigf), axis=0,
                                 keepdims=True))
@@ -692,7 +738,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                tlas_rows, interpret=False, interleave=INTERLEAVE,
                leaf_rows=LEAF_MAX // 8, width=8, leaf_fmt=None,
                packet_rows=PACKET_ROWS, oct_order=None, pop_cull=None,
-               stats=False):
+               sign_sel=None, stats=False):
     """Trace world rays against the two-level instanced tables.
 
     nodes: (W, 128) [TLAS rows | rebased mesh rows] (row 0 = TLAS
@@ -724,22 +770,25 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
         oct_order = OCT_ORDER
     if pop_cull is None:
         pop_cull = POP_CULL
+    if sign_sel is None:
+        sign_sel = SIGN_SEL
     return _inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                        tlas_rows=tlas_rows, interpret=interpret,
                        interleave=interleave, leaf_rows=leaf_rows,
                        width=width, leaf_fmt=leaf_fmt,
                        packet_rows=packet_rows, oct_order=oct_order,
-                       pop_cull=pop_cull, stats=stats)
+                       pop_cull=pop_cull, sign_sel=sign_sel, stats=stats)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'interleave', 'leaf_rows',
                                     'tlas_rows', 'width', 'leaf_fmt',
                                     'packet_rows', 'oct_order', 'pop_cull',
-                                    'stats'))
+                                    'sign_sel', 'stats'))
 def _inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                 tlas_rows, interpret, interleave, leaf_rows, width,
-                leaf_fmt, packet_rows, oct_order, pop_cull, stats):
+                leaf_fmt, packet_rows, oct_order, pop_cull, sign_sel,
+                stats):
     split = residency_split(nodes.shape, tris_g.shape, inst_rows.shape)
     if split is None:
         raise ValueError('tables exceed the streamable VMEM budget')
@@ -799,7 +848,7 @@ def _inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                           prefetch=PREFETCH_TOS, width=width,
                           leaf_fmt=leaf_fmt, packet_rows=packet_rows,
                           oct_order=oct_order, pop_cull=pop_cull,
-                          stats=stats),
+                          sign_sel=sign_sel, stats=stats),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(), table_block(), table_block()]
