@@ -105,6 +105,16 @@ POP_CULL = False
 # upper bound (tools/exp_signsel.py). Production use requires the
 # per-packet purity branch (see the experiment before wiring it).
 SIGN_SEL = False
+# bf16 pair-packed node bounds (tools/exp_quantnodes.py, VERDICT
+# round-3 item 3): lane i < 24 of a packed node row holds
+# (bf16(lo_i rounded down) << 16) | bf16(hi_i rounded up) as an f32
+# bit pattern; the pop decodes the 48-lane f32 bounds row with
+# bitcast/shift/roll/select on (1, 128). Conservative rounding keeps
+# culls sound and leaf tests stay exact f32, so hits are EXACT and
+# only pops can grow. This measures the decode + extra-pop cost with
+# the real instruction mix; the byte-side benefit is bounded
+# separately by the residency oracle (tools/exp_resid.py).
+QUANT = False
 
 
 def tables_fit_vmem(nodes, tris_g, inst_rows):
@@ -142,7 +152,7 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             interleave, leaf_rows, tlas_rows, res_nodes, res_tris,
             n_nodes, n_tris, prefetch, width=8, leaf_fmt='mt',
             packet_rows=PACKET_ROWS, oct_order=False, pop_cull=False,
-            sign_sel=False, stats=False):
+            sign_sel=False, quant=False, stats=False):
     meta_lane = NODE_LAYOUT[width]['meta']
     if stats:
         # Stats mode appends a (rows, 128) int32 output: lane 0/1/2/3 of
@@ -340,6 +350,18 @@ def _kernel(nodes_hbm, tris_hbm, inst_hbm,
             row = nrow_scr[pl.ds(0, 1), :]
         else:
             row = nodes_ref[pl.ds(v, 1), :]
+
+        if quant:
+            # Decode bf16 pair-packed bounds (module doc at QUANT):
+            # lanes 0..23 carry (bf16 lo << 16 | bf16 hi); rebuild the
+            # f32 bounds at lanes 0..47, leave meta/axis/perm lanes
+            # untouched.
+            u = pltpu.bitcast(row, jnp.int32)
+            lo_f = pltpu.bitcast(u & jnp.int32(-65536), jnp.float32)
+            hi_f = pltpu.bitcast(jax.lax.shift_left(u, 16), jnp.float32)
+            lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            dec = jnp.where(lane_q < 24, lo_f, pltpu.roll(hi_f, 24, 1))
+            row = jnp.where(lane_q < 48, dec, row)
 
         # One pltpu.repeat of the whole row up front, then 48 column
         # broadcasts (8,1)->(8,128): measured 5% fewer cycles/pop than
@@ -738,7 +760,7 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                tlas_rows, interpret=False, interleave=INTERLEAVE,
                leaf_rows=LEAF_MAX // 8, width=8, leaf_fmt=None,
                packet_rows=PACKET_ROWS, oct_order=None, pop_cull=None,
-               sign_sel=None, stats=False):
+               sign_sel=None, quant=None, stats=False):
     """Trace world rays against the two-level instanced tables.
 
     nodes: (W, 128) [TLAS rows | rebased mesh rows] (row 0 = TLAS
@@ -772,23 +794,26 @@ def inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
         pop_cull = POP_CULL
     if sign_sel is None:
         sign_sel = SIGN_SEL
+    if quant is None:
+        quant = QUANT
     return _inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                        tlas_rows=tlas_rows, interpret=interpret,
                        interleave=interleave, leaf_rows=leaf_rows,
                        width=width, leaf_fmt=leaf_fmt,
                        packet_rows=packet_rows, oct_order=oct_order,
-                       pop_cull=pop_cull, sign_sel=sign_sel, stats=stats)
+                       pop_cull=pop_cull, sign_sel=sign_sel, quant=quant,
+                       stats=stats)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'interleave', 'leaf_rows',
                                     'tlas_rows', 'width', 'leaf_fmt',
                                     'packet_rows', 'oct_order', 'pop_cull',
-                                    'sign_sel', 'stats'))
+                                    'sign_sel', 'quant', 'stats'))
 def _inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                 tlas_rows, interpret, interleave, leaf_rows, width,
                 leaf_fmt, packet_rows, oct_order, pop_cull, sign_sel,
-                stats):
+                quant, stats):
     split = residency_split(nodes.shape, tris_g.shape, inst_rows.shape)
     if split is None:
         raise ValueError('tables exceed the streamable VMEM budget')
@@ -848,7 +873,7 @@ def _inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
                           prefetch=PREFETCH_TOS, width=width,
                           leaf_fmt=leaf_fmt, packet_rows=packet_rows,
                           oct_order=oct_order, pop_cull=pop_cull,
-                          sign_sel=sign_sel, stats=stats),
+                          sign_sel=sign_sel, quant=quant, stats=stats),
         out_shape=tuple(out_shapes),
         grid=(grid,),
         in_specs=[table_block(), table_block(), table_block()]

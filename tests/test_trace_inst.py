@@ -264,6 +264,37 @@ def test_pop_cull_equality():
         assert (np.asarray(a) == np.asarray(b)).all()
 
 
+def test_quant_nodes_equality():
+    """bf16 pair-packed node bounds (a gated A/B, tools/
+    exp_quantnodes.py) must leave hits EXACT: conservative rounding
+    only loosens culls, leaf tests stay f32."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / 'tools'))
+    from exp_quantnodes import pack_quant_nodes
+
+    scene, rng = _instanced_scene(5)
+    packed = compile_mod.compile_scene(scene)
+    layout = SceneLayout.from_packed(packed)
+    n = 2048
+    o = jnp.asarray(rng.uniform(-5, 5, (3, n)).astype(np.float32))
+    d = rng.normal(0, 1, (3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    d = jnp.asarray(d)
+    t_in = jnp.full((n,), 1e7, jnp.float32)
+
+    base = trace_inst.inst_trace(
+        packed.inst_nodes, packed.inst_tris, packed.inst_rows, o, d, t_in,
+        tlas_rows=layout.tlas_rows, interpret=True, quant=False)
+    quant = trace_inst.inst_trace(
+        pack_quant_nodes(packed.inst_nodes), packed.inst_tris,
+        packed.inst_rows, o, d, t_in,
+        tlas_rows=layout.tlas_rows, interpret=True, quant=True)
+    assert (np.asarray(base[1]) >= 0).any()
+    for a, b in zip(base, quant):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
 def test_streamed_leaf_row_ordering():
     """Scenes that will stream leaf rows get them reordered by
     camera-projected importance (compile.py _order_streamed_leaf_rows)
