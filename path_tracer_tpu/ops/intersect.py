@@ -165,7 +165,15 @@ def permute_rows_waves(rows, perm_w, inverse=False):
         # each wave back to lane order.
         matrix = row_interleave(matrix, undo=True)
     waves = matrix.T.reshape(w_count, n1, width)
-    parts = [jnp.take(waves[w], perm_w[w], axis=0) for w in range(w_count)]
+    # optimization_barrier: force each wave slice to MATERIALIZE before
+    # its gather. Without it XLA fuses the slice into the gather and the
+    # gather operand is still the full (N, width) parent buffer -- over
+    # the ~64 MB fast-path cliff this function exists to stay under
+    # (measured: un-barriered fwd at 4M lanes was ~99 ms, barely below
+    # the 119 ms global gather; barriered per-wave slices restore the
+    # one-wave operand, tools/exp_waves4/5.py and exp_splitgather.py).
+    parts = [jnp.take(jax.lax.optimization_barrier(waves[w]),
+                      perm_w[w], axis=0) for w in range(w_count)]
     flat = jnp.stack(parts, axis=0).reshape(n, width)  # wave-major
     out = flat.T
     if not inverse:
