@@ -108,6 +108,13 @@ def ray_sort_key(packed, origin, direction):
     return ((((octant << 15) | morton) << 12) | dmorton)
 
 
+# XLA's packed row gather leaves its VMEM-staged fast path once the
+# operand passes ~64 MB (10/83/165 ms at 2/4/8M (N, 8) f32 lanes,
+# tools/exp_waves3.py); permute_rows_waves keeps every gather operand
+# one wave wide to stay under it.
+GATHER_CLIFF_BYTES = 64 * 1024 * 1024
+
+
 def permute_rows_waves(rows, perm_w, inverse=False):
     """Per-wave permute + cross-wave quantile interleave.
 
@@ -172,8 +179,17 @@ def permute_rows_waves(rows, perm_w, inverse=False):
     # (measured: un-barriered fwd at 4M lanes was ~99 ms, barely below
     # the 119 ms global gather; barriered per-wave slices restore the
     # one-wave operand, tools/exp_waves4/5.py and exp_splitgather.py).
-    parts = [jnp.take(jax.lax.optimization_barrier(waves[w]),
-                      perm_w[w], axis=0) for w in range(w_count)]
+    # Shapes are static, so skip the barrier (and its materialized HBM
+    # copy of every wave slice) when even the FULL parent operand sits
+    # under the cliff -- the fused gather is then already on the fast
+    # path and the round trip is pure cost.
+    if n * width * 4 > GATHER_CLIFF_BYTES:
+        slices = [jax.lax.optimization_barrier(waves[w])
+                  for w in range(w_count)]
+    else:
+        slices = [waves[w] for w in range(w_count)]
+    parts = [jnp.take(slices[w], perm_w[w], axis=0)
+             for w in range(w_count)]
     flat = jnp.stack(parts, axis=0).reshape(n, width)  # wave-major
     out = flat.T
     if not inverse:

@@ -73,7 +73,7 @@ def main():
                   f'{res[f"split{width}"]} ms', file=sys.stderr, flush=True)
 
         @jax.jit
-        def chunked_rows(rows, perm):
+        def chunked_rows(rows, perm, n=n):
             k = n // (2 * 1024 * 1024)
             if k <= 1:
                 return jnp.take(rows, perm, axis=0)

@@ -42,10 +42,10 @@ def bench_waves(packed, layout, waves, timed_rounds=TIMED_ROUNDS,
     config = RenderConfig(width=WIDTH, height=HEIGHT, waves=waves)
     chunk = min(chunk, timed_rounds)
     t0 = time.time()
-    state = None
-    for _ in range(max(WARMUP_ROUNDS // chunk, 1)):
-        state = render(packed, config, chunk, seed=0, layout=layout,
-                       state=state)
+    # Warm up with one WARMUP_ROUNDS-round chunk (compiles its own
+    # program when WARMUP_ROUNDS != chunk; the steady-state bounce mix
+    # needs only a handful of rounds to establish).
+    state = render(packed, config, WARMUP_ROUNDS, seed=0, layout=layout)
     warm_count = float(jnp.sum(state['accum']['count']))
     print(f'# [waves={waves}] compile+warmup: {time.time()-t0:.1f}s',
           file=sys.stderr)
