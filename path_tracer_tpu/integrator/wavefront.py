@@ -194,6 +194,25 @@ def _reset_jit(packed, config, seed):
     return _reset_impl(packed, config, seed, slot)
 
 
+# The scatter side of the fused round (scatter + accumulate + respawn)
+# is elementwise per lane, but XLA's fusion quality degrades with lane
+# count: at 2.07M lanes it fuses into the round at ~60% of its
+# standalone cost, while at 4.15M it costs MORE than standalone
+# (B_round - A_trace: 52.4 -> 144.9 ms, tools/exp_waves8.py) -- the
+# +40 ms that previously killed waves=2 end-to-end. Slicing the scatter
+# side into ~2M-lane chunks inside the same jit restores the 2M-lane
+# fusion shape; per-lane independence makes the split bitwise-free
+# (asserted in tools/exp_waves10.py: chunked == whole, 423.9 -> 384.2
+# ms at 4.15M lanes). Chunks of ~1M lanes regress (414.0 ms) and
+# chunking a 2.07M round also regresses (196.7 -> 209.1), so the chunk
+# target IS one 1080p wave and small states never chunk.
+SCATTER_CHUNK_LANES = 2_600_000
+
+
+def _scatter_chunks(n_lanes):
+    return -(-n_lanes // SCATTER_CHUNK_LANES)
+
+
 def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
                   render_state, termination_probability, rounds=None,
                   sort_each_round=False):
@@ -222,13 +241,10 @@ def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
     sort_waves = (config.waves if n_lanes == config.waves * config.width
                   * config.height else 1)
 
-    def one_round(_, rs):
+    def scatter_deposit(rs, hit):
+        """The non-trace side of one round: scatter + accumulate +
+        respawn, all elementwise per lane (chunkable)."""
         rng = Rng(rs['rng_state'])
-        hit = trace(packed, layout, rs['origin'], rs['direction'],
-                    sort_packets=sort_each_round,
-                    sort_block=config.sort_block, sort_waves=sort_waves,
-                    use_packet=True if config.packet_interpret else None,
-                    interpret=config.packet_interpret)
         path, origin, direction, alive = scatter(
             packed, rs['path'], rs['origin'], rs['direction'], hit, rng,
             termination_probability, layout)
@@ -252,6 +268,42 @@ def render_rounds(packed, layout: SceneLayout, config: RenderConfig,
 
         return dict(path=path, origin=origin, direction=direction,
                     accum=accum, rng_state=rng.state, lane=rs['lane'])
+
+    chunks = _scatter_chunks(n_lanes)
+
+    def one_round(_, rs):
+        hit = trace(packed, layout, rs['origin'], rs['direction'],
+                    sort_packets=sort_each_round,
+                    sort_block=config.sort_block, sort_waves=sort_waves,
+                    use_packet=True if config.packet_interpret else None,
+                    interpret=config.packet_interpret)
+        if chunks <= 1:
+            return scatter_deposit(rs, hit)
+
+        # Chunked scatter side (see SCATTER_CHUNK_LANES): bitwise equal
+        # to the whole-state call -- every array is per-lane along the
+        # trailing axis, including the RNG state.
+        bounds = [(n_lanes * c // chunks) // 128 * 128
+                  for c in range(chunks)] + [n_lanes]
+
+        def sl(x, c):
+            return jax.lax.slice_in_dim(x, bounds[c], bounds[c + 1],
+                                        axis=-1)
+
+        outs = []
+        for c in range(chunks):
+            rs_c = dict(
+                path={k: sl(v, c) for k, v in rs['path'].items()},
+                origin=sl(rs['origin'], c),
+                direction=sl(rs['direction'], c),
+                accum={k: sl(v, c) for k, v in rs['accum'].items()},
+                rng_state=sl(rs['rng_state'], c),
+                lane=sl(rs['lane'], c))
+            outs.append(scatter_deposit(
+                rs_c, {k: sl(v, c) for k, v in hit.items()}))
+
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=-1), *outs)
 
     return jax.lax.fori_loop(0, rounds, one_round, render_state)
 

@@ -216,8 +216,24 @@ def main():
                     data['tlas_rows'])
     lanes = int(os.environ.get('PT_TREELET_LANES', n))
     lanes -= lanes % PACKET
-    o_all, d_all = o_all[:, :lanes], d_all[:, :lanes]
     packets = lanes // PACKET
+    # Subsample PACKETS uniformly across the sorted order, not a head
+    # slice: pops/packet vary strongly along the key range (the head of
+    # the sort is a dense bounce cluster -- a 24-packet head slice
+    # overestimated whole-wavefront pops 2.8x vs the chip counters), so
+    # stride sampling is what makes the x(n/lanes) validation against
+    # the on-chip totals meaningful.
+    if lanes < n:
+        total_packets = n // PACKET
+        picks = np.linspace(0, total_packets - 1, packets).round()
+        picks = np.unique(picks.astype(np.int64))
+        packets = len(picks)
+        lanes = packets * PACKET
+        idx = (picks[:, None] * PACKET
+               + np.arange(PACKET)[None, :]).reshape(-1)
+        o_all, d_all = o_all[:, idx], d_all[:, idx]
+    else:
+        o_all, d_all = o_all[:, :lanes], d_all[:, :lanes]
     print(f'# {lanes} lanes ({packets} packets); on-chip sorted pops: '
           f'interior {int(data["pops_interior"])} leaf '
           f'{int(data["pops_leaf"])} at {n} lanes', file=sys.stderr)
