@@ -171,3 +171,23 @@ def test_interleaved_sort_trace_matches_unsorted():
     for key in ('time', 'shape', 'primitive'):
         np.testing.assert_array_equal(np.asarray(plain[key]),
                                       np.asarray(inter[key]))
+
+
+def test_chunked_scatter_side_bitwise_equal(packed):
+    """The SCATTER_CHUNK_LANES chunking of the round's scatter side
+    (integrator/wavefront.py) must be a pure fusion-shape change:
+    forcing chunks at CPU scale renders bit-for-bit the same state as
+    the whole-state path (on-chip A/B: tools/exp_waves10.py)."""
+    import path_tracer_tpu.integrator.wavefront as wf
+
+    config = RenderConfig(width=32, height=16, waves=2)
+    a = render(packed, config, 4, seed=5)
+    old = wf.SCATTER_CHUNK_LANES
+    wf.SCATTER_CHUNK_LANES = 256     # 1024 lanes -> 4 chunks
+    try:
+        b = render(packed, config, 4, seed=5)
+    finally:
+        wf.SCATTER_CHUNK_LANES = old
+    for va, vb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
