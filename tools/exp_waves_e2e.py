@@ -32,7 +32,6 @@ from path_tracer_tpu.integrator.wavefront import render
 from path_tracer_tpu.scene.procedural import make_viking_hall_scene
 
 WIDTH, HEIGHT = 1920, 1080
-WARMUP_ROUNDS = 6
 TIMED_ROUNDS = 24
 CHUNK = 24
 
@@ -42,13 +41,19 @@ def bench_waves(packed, layout, waves, timed_rounds=TIMED_ROUNDS,
     config = RenderConfig(width=WIDTH, height=HEIGHT, waves=waves)
     chunk = min(chunk, timed_rounds)
     t0 = time.time()
-    # Warm up with one WARMUP_ROUNDS-round chunk (compiles its own
-    # program when WARMUP_ROUNDS != chunk; the steady-state bounce mix
-    # needs only a handful of rounds to establish).
-    state = render(packed, config, WARMUP_ROUNDS, seed=0, layout=layout)
+    # Warm up with one chunk-round call: the timed region below runs
+    # chunk-round programs, and the `rounds` static arg is part of the
+    # jit cache key, so warming with any OTHER round count leaves the
+    # timed program uncompiled and its (possibly minutes-long) compile
+    # lands inside the clock -- this exact bug shipped as a round-5
+    # advisor "fix" and read 12.4 -> 2.2 Mrays/s as a phantom 5.6x chip
+    # regression (artifacts/rounds_probe2: every warmed program runs
+    # 167-169 ms/round). The chunk warmup also establishes the
+    # steady-state bounce mix (>= ~6 rounds needed).
+    state = render(packed, config, chunk, seed=0, layout=layout)
     warm_count = float(jnp.sum(state['accum']['count']))
-    print(f'# [waves={waves}] compile+warmup: {time.time()-t0:.1f}s',
-          file=sys.stderr)
+    print(f'# [waves={waves}] compile+warmup ({chunk} rounds): '
+          f'{time.time()-t0:.1f}s', file=sys.stderr)
 
     t0 = time.time()
     rounds_done = (timed_rounds // chunk) * chunk
