@@ -39,9 +39,10 @@ sorted mid-flight bounce rays for register-pressure realism):
 
   vpu_full     production-style bary rows (16 rows x 8 tris per block)
   mxu_full     dot((6T,8),(8,128)) per ray row + epilogue, f32 HIGHEST
-  mxu_high     same, precision HIGH (3-pass bf16)
   mxu_bf16     same, single-pass bf16 inputs (the conservative-cull
-               stage's upper bound; output NOT hit-exact)
+               stage's upper bound; output NOT hit-exact). Mosaic has
+               no Precision.HIGH lowering, so the 3-pass point cannot
+               be measured; bf16 brackets the dot cost from below.
   mxu_dotonly  the matmuls alone (epilogue replaced by a running sum)
                -- isolates the MXU rate from the epilogue
 
@@ -320,9 +321,9 @@ def main():
                    pltpu.VMEM((6 * T_BLOCK, 128), jnp.float32)]
     for name, precision, dot_only, bf16 in (
             ('mxu_full', jax.lax.Precision.HIGHEST, False, False),
-            ('mxu_high', jax.lax.Precision.HIGH, False, False),
             ('mxu_bf16', jax.lax.Precision.DEFAULT, False, True),
-            ('mxu_dotonly', jax.lax.Precision.HIGHEST, True, False)):
+            ('mxu_dotonly', jax.lax.Precision.HIGHEST, True, False),
+            ('mxu_dot_bf16', jax.lax.Precision.DEFAULT, True, True)):
         out, _ = run_variant(
             name, functools.partial(_mxu_kernel, v_blocks=V_BLOCKS,
                                     precision=precision, dot_only=dot_only,
