@@ -43,7 +43,7 @@ CHUNK = 24
 
 def bench_scene(name, scene, camera_model=0, tone=0,
                 width=WIDTH, height=HEIGHT, timed_rounds=TIMED_ROUNDS,
-                chunk=None):
+                chunk=None, waves=1):
     import jax
     import jax.numpy as jnp
     from path_tracer_tpu import RenderConfig, SceneLayout, compile_scene
@@ -54,7 +54,7 @@ def bench_scene(name, scene, camera_model=0, tone=0,
     layout = SceneLayout.from_packed(packed)
     faces = int(packed.face_positions.shape[2])
     config = RenderConfig(width=width, height=height,
-                          camera_model=camera_model)
+                          camera_model=camera_model, waves=waves)
     print(f'# [{name}] compiled: {faces} tris in {time.time()-t0:.1f}s',
           file=sys.stderr)
 
@@ -85,10 +85,12 @@ def bench_scene(name, scene, camera_model=0, tone=0,
     count = float(jnp.sum(state['accum']['count']))
     elapsed = time.time() - t0
 
-    lanes = width * height
+    lanes = waves * width * height
     mrays = lanes * rounds_done / elapsed / 1e6
     samples_s = (count - warm_count) / elapsed
-    spp_rate = (count - warm_count) / lanes / elapsed  # spp per second
+    # spp is per PIXEL: wave copies of a pixel fold into its sample
+    # count at resolve, so the divisor stays width*height.
+    spp_rate = (count - warm_count) / (width * height) / elapsed
     t64 = 64.0 / spp_rate if spp_rate > 0 else float('inf')
     print(f'# [{name}] {rounds_done} rounds in {elapsed:.2f}s: '
           f'{mrays:.2f} Mrays/s, {samples_s/1e6:.2f} Msamples/s, '
@@ -190,9 +192,15 @@ def main():
     # DMAs with top-of-stack prefetch) end-to-end. The reference holds
     # such scenes in 256 MiB+ SSBOs with no cliff (scene.cpp:1648);
     # this row proves the TPU design has no cliff either.
+    # waves=4: sample-wave density is adopted for this config -- the
+    # round is ~90% streaming trace kernel and each 1080p wave stays
+    # under the gather cliff, so denser packets cut pops AND leaf-miss
+    # DMAs: 4.18 -> 4.87 Mrays/s measured (tools/exp_waves_terrain.py,
+    # W=8 adds only +0.8% for 2x memory; 4K's 8.3M-lane waves are
+    # already past the cliff and LOSE 12%, artifacts/waves_4k_r5.log).
     configs['6_terrain_stream'] = bench_scene(
         '6_terrain_stream', make_terrain_scene(side=900), timed_rounds=6,
-        chunk=6)
+        chunk=6, waves=4)
 
     golden_failures = check_goldens()
 
