@@ -930,9 +930,20 @@ def _inst_trace(nodes, tris_g, inst_rows, origin, direction, t_in,
     t, face, fu, fv, inst = (x.reshape(total)[:n] for x in out[:5])
     if stats:
         # Per packet-group counters live at sublane 0, lanes 0..3 of
-        # each block: sum them across the grid.
+        # each block. stats=True sums them across the grid (diag
+        # tooling); stats='lanes' broadcasts each packet's counters to
+        # its lanes instead -- (N, 5) int32 -- which IS the per-ray
+        # traversal cost on this architecture (every lane of a packet
+        # rides every pop), feeding the preview complexity heatmaps
+        # (viewer/preview.py; reference counts per-thread node visits,
+        # preview_render.glsl:154-163).
         st = out[5].reshape(grid, interleave * packet_rows, 128)
-        return t, face, fu, fv, inst, jnp.sum(st[:, 0, :5], axis=0)
+        counters = st[:, 0, :5]
+        if stats == 'lanes':
+            per_lane = jnp.repeat(counters, interleave * packet_rows * 128,
+                                  axis=0, total_repeat_length=total)[:n]
+            return t, face, fu, fv, inst, per_lane
+        return t, face, fu, fv, inst, jnp.sum(counters, axis=0)
     return t, face, fu, fv, inst
 
 

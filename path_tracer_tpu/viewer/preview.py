@@ -88,9 +88,15 @@ def render_preview(packed, layout: SceneLayout, width, height,
                    selected_shape=-1, brightness=1.0):
     """Render one preview frame -> (H, W, 3) float32."""
     origin, direction = _preview_rays(packed, width, height, camera_world)
-    # Preview always uses the portable traversal (CPU-friendly, and the
-    # preview resolution is small).
-    hit = trace(packed, layout, origin, direction, use_packet=False)
+    # Auto dispatch (use_packet=None): the Pallas packet kernel on TPU,
+    # portable XLA elsewhere. Preview hard-coded the portable path
+    # through round 4 and paid 24.3 s/frame on the 41k-tri viking at
+    # 960x540 (artifacts/editor_r5.log "before") -- the per-lane masked
+    # traversal is ~600x off the packet kernel on mesh scenes; the
+    # reference's preview is its REAL-TIME editor path
+    # (preview_render.glsl:96-178), so preview rides the production
+    # kernel like every other trace.
+    hit = trace(packed, layout, origin, direction)
 
     n = width * height
     miss = hit['shape'] == SHAPE_INDEX_NONE
@@ -140,7 +146,32 @@ def render_preview(packed, layout: SceneLayout, width, height,
     elif mode in (PREVIEW_RENDER_MODE_MESH_COMPLEXITY,
                   PREVIEW_RENDER_MODE_SCENE_COMPLEXITY):
         # Green traversal-cost heatmap (preview_render.glsl:154-163).
-        heat = hit['complexity'].astype(jnp.float32) / 256.0
+        # The reference counts per-thread BVH node visits; on this
+        # architecture a lane's true traversal cost is its PACKET's pop
+        # count (every lane rides every pop), so when the packet kernel
+        # is the production trace path the heat adds the per-packet
+        # interior+leaf pops broadcast to lanes (trace_inst stats=
+        # 'lanes') -- scene complexity also counts instance entries
+        # (the TLAS-level work, scene.glsl.inc:468-520's analogue).
+        # Portable-path scenes (CPU, over-budget tables) keep the
+        # per-lane iteration counts in hit['complexity'].
+        heat_src = hit['complexity'].astype(jnp.float32)
+        packet_path = (jax.default_backend() == 'tpu'
+                       and layout.instance_slots
+                       and layout.packet_mode == 'inst' and layout.inst_fit)
+        if packet_path:
+            from ..core.constants import HIT_TIME_LIMIT
+            from ..ops import trace_inst
+            *_hit, st = trace_inst.inst_trace(
+                packed.inst_nodes, packed.inst_tris, packed.inst_rows,
+                origin, direction,
+                jnp.full((n,), HIT_TIME_LIMIT, jnp.float32),
+                tlas_rows=layout.tlas_rows, stats='lanes')
+            pops = (st[:, 0] + st[:, 1]).astype(jnp.float32)
+            if mode == PREVIEW_RENDER_MODE_SCENE_COMPLEXITY:
+                pops = pops + st[:, 3].astype(jnp.float32)
+            heat_src = heat_src + pops
+        heat = heat_src / 256.0
         zeros = jnp.zeros_like(heat)
         color = jnp.stack([zeros, heat, zeros], axis=0)
     else:
@@ -153,6 +184,27 @@ def render_preview(packed, layout: SceneLayout, width, height,
     return jnp.moveaxis(color.reshape(3, height, width), 0, -1)
 
 
+@partial(jax.jit, static_argnames=('layout', 'width', 'height'))
+def _pick_shape(packed, layout: SceneLayout, width, height, camera_world,
+                xy):
+    """Jitted single-ray pick trace -> shape index (SHAPE_INDEX_NONE on
+    miss). (x, y) ride as a TRACED (2,) array so every hover/click
+    reuses one compiled program; eager dispatch on the deferred relay
+    runtime cost 2.2-4.3 s per query (artifacts/pick_after_r5.log)."""
+    aspect = width / height
+    near_x = ((xy[0] + 0.5) / width - 0.5) * aspect
+    near_y = 0.5 - (xy[1] + 0.5) / height
+    d = normalize(vec3(near_x.reshape(1), near_y.reshape(1),
+                       jnp.full((1,), -1.0, jnp.float32)))
+    origin = camera_world[:3, 3][:, None]
+    direction = normalize(transform_vector(camera_world, d))
+    # Auto dispatch: even one ray pads into a single packet and rides
+    # the production kernel -- the portable per-lane loop took 4.3 s
+    # for this single-ray query on viking (artifacts/editor_r5.log).
+    hit = trace(packed, layout, origin, direction)
+    return hit['shape'][0]
+
+
 def pick(packed, layout: SceneLayout, width, height, camera_world, x, y):
     """Mouse picking: shape index under pixel (x, y), or -1.
 
@@ -160,14 +212,7 @@ def pick(packed, layout: SceneLayout, width, height, camera_world, x, y):
     reads it back double-buffered (preview_render.cpp:96-116); here it
     is one single-ray trace.
     """
-    aspect = width / height
-    near_x = ((x + 0.5) / width - 0.5) * aspect
-    near_y = 0.5 - (y + 0.5) / height
-    d = normalize(vec3(jnp.asarray([near_x], jnp.float32),
-                       jnp.asarray([near_y], jnp.float32),
-                       jnp.asarray([-1.0], jnp.float32)))
-    origin = camera_world[:3, 3][:, None]
-    direction = normalize(transform_vector(camera_world, d))
-    hit = trace(packed, layout, origin, direction, use_packet=False)
-    shape = int(hit['shape'][0])
+    xy = jnp.asarray([x, y], jnp.float32)
+    shape = int(_pick_shape(packed, layout, width, height, camera_world,
+                            xy))
     return -1 if shape == SHAPE_INDEX_NONE else shape

@@ -239,6 +239,27 @@ def test_inst_trace_stats_mode():
     for a, b in zip(base, withs):
         assert (np.asarray(a) == np.asarray(b)).all()
 
+    # stats='lanes' broadcasts each packet's counters to its lanes
+    # (the preview complexity heatmaps ride this): per-lane rows are
+    # constant within a packet group and their per-packet sum matches
+    # the summed counters.
+    *withs_l, stl = trace_inst.inst_trace(
+        packed.inst_nodes, packed.inst_tris, packed.inst_rows, o, d, t_in,
+        tlas_rows=layout.tlas_rows, interpret=True, stats='lanes')
+    stl = np.asarray(stl)
+    assert stl.shape == (n, 5)
+    group = trace_inst.INTERLEAVE * trace_inst.PACKET_ROWS * 128
+    for g in range(0, n, group):
+        blk = stl[g:g + group]
+        assert (blk == blk[0]).all()
+    # Per-packet counters (one row per group) sum to the stats=True
+    # totals; n=1024 pads into a single packet group here, so the
+    # per-lane rows ARE the summed counters.
+    per_packet = stl[::group]
+    assert (per_packet.sum(axis=0) == st).all()
+    for a, b in zip(base, withs_l):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
 
 def test_pop_cull_equality():
     """Pop-time reach culling (a measured on-chip negative kept gated,

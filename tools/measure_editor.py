@@ -88,6 +88,10 @@ def main():
         session.frame()
     np.asarray(session.frame())
 
+    if os.environ.get('PT_PREVIEW_ONLY', '') == '1':
+        _preview_section(session)
+        return
+
     print('# steady frames (no edit):')
     for _ in range(3):
         frame_ms(session, 'steady frame')
@@ -126,12 +130,19 @@ def main():
     scene.mark_dirty(SCENE_DIRTY_SHAPES)
     frame_ms(session, 'add 2nd sphere -> frame')
 
+    _preview_section(session)
+
+
+def _preview_section(session):
     # Preview-mode latency (VERDICT round-4 missing item 3): the
     # reference's preview is its REAL-TIME editor path -- one primary
     # ray per pixel per frame, 7 false-color modes
-    # (preview_render.glsl:96-178). Ours goes through the portable
-    # per-lane traversal (viewer/preview.py); this times every mode to
-    # host readback, warm (the first call of each mode compiles).
+    # (preview_render.glsl:96-178). Through round 4 ours went through
+    # the portable per-lane traversal at 24.3 s/frame on viking at
+    # 960x540 (artifacts/editor_r5.log "before"); preview now rides
+    # the production packet kernel (complexity heatmaps from the
+    # kernel's per-packet pops, trace_inst stats='lanes'). This times
+    # every mode to host readback, warm (first call of a mode compiles).
     print('# preview modes (1 primary ray/pixel to host readback):')
     mode_names = ['base color', 'shaded', 'normal', 'material id',
                   'primitive id', 'mesh complexity', 'scene complexity']
