@@ -173,9 +173,14 @@ def main():
 
     warm_session()
     configs = {}
-    configs['1_cornell'] = bench_scene('1_cornell', make_cornell_scene())
+    # Analytic configs run whole 24-round chunks in ~0.4-1 s, where
+    # run-to-run relay jitter is +-10% (141.6 vs 158.8 across health
+    # runs); 96 timed rounds keep the clock > 1.4 s at zero real cost.
+    configs['1_cornell'] = bench_scene('1_cornell', make_cornell_scene(),
+                                       timed_rounds=96)
     configs['2_spheres_dof'] = bench_scene(
-        '2_spheres_dof', make_sphere_array_scene(), camera_model=1)
+        '2_spheres_dof', make_sphere_array_scene(), camera_model=1,
+        timed_rounds=96)
     configs['3_viking_hall'] = bench_scene(
         '3_viking_hall', make_viking_hall_scene(detail=1))
     configs['4_360_mixed'] = bench_scene(
