@@ -113,6 +113,15 @@ class RenderConfig:
     # 172.7 -> 101.2 and kernel Mrays/s 18.8 -> 39.5 from waves 1 -> 8.
     # Costs waves x state memory (~250 MB per wave at 1080p); resolve
     # folds the waves per pixel.
+    #
+    # When to raise it (round-5 e2e rule, tools/exp_waves_e2e.py +
+    # exp_waves_terrain.py): waves pay iff the round is KERNEL-bound
+    # AND one wave stays under the ~64 MB fast-gather cliff. Streaming
+    # terrain at 1080p: 4.18/4.41/4.87/4.91 Mrays/s at W=1/2/4/8 --
+    # waves=4 adopted for that bench config. Machinery-bound viking:
+    # 12.31 -> 11.67 at W=2 (the ~7%-pops win is consumed by the
+    # scatter-side residue). 4K: one 8.3M-lane wave is already past
+    # the cliff, W=2 loses 12.5%. Default stays 1.
     waves: int = 1
     # TEST knob: run the Pallas packet kernel in interpret mode (pure
     # JAX, any backend) so CPU tests can exercise the packet + in-trace

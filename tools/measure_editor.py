@@ -41,6 +41,14 @@ once (~105 s truly cold, then the persistent XLA cache holds it).
 tests/test_program_stability.py pins the no-recompile invariants of
 both modes.
 
+PREVIEW MODES measured 2026-08-21 (round 5, PT_PREVIEW_ONLY=1): the
+preview had hard-coded the portable traversal and ran 24.3 s/frame on
+viking at 960x540 (artifacts/editor_r5.log); after routing it through
+the production packet kernel (complexity heat from per-packet pops,
+trace_inst stats='lanes') and jitting the pick ray: modes 0-4 at
+181-256 ms, complexity modes 197-324 ms, pick 31-43 ms warm
+(artifacts/{preview_after,pick_after2}_r5.log).
+
 NOTE on (b): that column was measured while analytic groups were
 bucket-padded in BOTH modes; the padding costs real per-lane
 intersection work (Cornell bench -22%), so specialized programs went
